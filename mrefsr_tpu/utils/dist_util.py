@@ -1,0 +1,60 @@
+"""Multi-host/process helpers on top of jax.distributed.
+
+TPU-native replacement for the reference's torch.distributed/NCCL layer
+(reference: basicsr/utils/dist_util.py). There is no explicit backend or
+process-group: ``jax.distributed.initialize()`` wires the hosts, chips talk
+over ICI via XLA collectives inside jitted computations, and host-side
+rank logic uses ``jax.process_index()``.
+"""
+import functools
+import os
+
+_initialized = False
+
+
+def init_dist(launcher=None, backend=None, **kwargs):
+    """Initialize the multi-host JAX runtime (idempotent).
+
+    ``launcher``/``backend`` args are accepted for YAML compatibility with
+    the reference (`--launcher pytorch|slurm`, `dist_params.backend: nccl`)
+    but only influence whether initialization is attempted: ``none`` skips.
+    """
+    global _initialized
+    if _initialized or launcher in (None, 'none'):
+        return
+    import jax
+    if jax.process_count() > 1 or os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        try:
+            jax.distributed.initialize(**kwargs)
+        except (RuntimeError, ValueError):
+            pass  # already initialized or single-process
+    _initialized = True
+
+
+def get_dist_info():
+    """Return (rank, world_size) at host-process granularity."""
+    try:
+        import jax
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def get_rank():
+    return get_dist_info()[0]
+
+
+def get_world_size():
+    return get_dist_info()[1]
+
+
+def master_only(func):
+    """Run the wrapped function only on host process 0."""
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        rank, _ = get_dist_info()
+        if rank == 0:
+            return func(*args, **kwargs)
+
+    return wrapper

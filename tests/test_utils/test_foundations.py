@@ -1,0 +1,99 @@
+"""Registry / options / misc foundations."""
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from mrefsr_tpu.utils import (Registry, img2tensor, parse_options, scandir,
+                              tensor2img)
+from mrefsr_tpu.utils.registry import ARCH_REGISTRY
+
+
+def test_registry_basic():
+    reg = Registry('test')
+
+    @reg.register()
+    class Foo:
+        pass
+
+    assert reg.get('Foo') is Foo
+    assert 'Foo' in reg
+    with pytest.raises(KeyError):
+        reg.get('Bar')
+    with pytest.raises(KeyError):
+
+        @reg.register()
+        class Foo:  # noqa: F811
+            pass
+
+
+def test_registry_suffix_fallback():
+    reg = Registry('test')
+
+    class Baz:
+        pass
+
+    reg._do_register('Baz_mrefsr_tpu', Baz)
+    assert reg.get('Baz') is Baz
+
+
+def test_parse_options(tmp_path):
+    opt_yaml = {
+        'name': 'test_exp',
+        'model_type': 'SRModel',
+        'scale': 4,
+        'num_gpu': 1,
+        'manual_seed': 0,
+        'datasets': {
+            'train': {'name': 'd', 'type': 'PairedImageDataset'},
+            'val_1': {'name': 'v', 'type': 'PairedImageDataset'},
+        },
+        'train': {'total_iter': 100},
+        'logger': {'print_freq': 10, 'save_checkpoint_freq': 100},
+        'path': {},
+    }
+    opt_file = tmp_path / 'opt.yml'
+    opt_file.write_text(yaml.dump(opt_yaml))
+
+    opt, args = parse_options(str(tmp_path), is_train=True,
+                              args=['-opt', str(opt_file),
+                                    '--force_yml', 'train:total_iter=5'])
+    assert opt['is_train'] is True
+    assert opt['datasets']['train']['phase'] == 'train'
+    assert opt['datasets']['val_1']['phase'] == 'val'
+    assert opt['datasets']['train']['scale'] == 4
+    assert opt['train']['total_iter'] == 5
+    assert opt['path']['models'].endswith('models')
+    assert 'test_exp' in opt['path']['experiments_root']
+    assert opt['rank'] == 0
+
+
+def test_img_tensor_roundtrip():
+    img = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+    t = img2tensor(img, bgr2rgb=True)  # HWC RGB float
+    assert t.shape == (16, 16, 3)
+    out = tensor2img(t[None], rgb2bgr=True)  # back to BGR uint8
+    assert out.dtype == np.uint8
+    np.testing.assert_allclose(out, (img * 255).round(), atol=1)
+
+
+def test_tensor2img_jax_array():
+    import jax.numpy as jnp
+    x = jnp.ones((1, 8, 8, 3)) * 0.5
+    out = tensor2img(x)
+    assert out.shape == (8, 8, 3)
+    assert out.dtype == np.uint8
+    assert np.all(out == 128)
+
+
+def test_scandir(tmp_path):
+    (tmp_path / 'a.png').write_text('x')
+    (tmp_path / 'b.jpg').write_text('x')
+    sub = tmp_path / 'sub'
+    sub.mkdir()
+    (sub / 'c.png').write_text('x')
+    assert sorted(scandir(str(tmp_path), suffix='.png')) == ['a.png']
+    assert sorted(scandir(str(tmp_path), suffix='.png',
+                          recursive=True)) == ['a.png',
+                                               os.path.join('sub', 'c.png')]
