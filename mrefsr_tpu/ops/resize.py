@@ -1,0 +1,77 @@
+"""Torch-compatible resize / pixel-shuffle primitives on NHWC arrays.
+
+These replicate torch.nn.functional semantics used throughout the
+reference archs (F.interpolate, nn.PixelShuffle, pixel_unshuffle at
+basicsr/archs/arch_util.py:272) so converted checkpoints produce
+identical activations. All functions are jit/grad-friendly.
+"""
+import jax
+import jax.numpy as jnp
+
+
+def interpolate(x, scale_factor=None, size=None, mode='bilinear',
+                align_corners=False):
+    """F.interpolate equivalent for NHWC inputs.
+
+    align_corners=False maps to half-pixel-center resampling
+    (jax.image.resize's convention); align_corners=True uses the exact
+    corner-aligned source grid.
+    """
+    n, h, w, c = x.shape
+    if size is None:
+        out_h, out_w = int(h * scale_factor), int(w * scale_factor)
+    else:
+        out_h, out_w = size
+
+    if mode == 'nearest':
+        # torch 'nearest' (legacy): src = floor(dst * in/out)
+        ys = jnp.clip((jnp.arange(out_h) * (h / out_h)).astype(jnp.int32),
+                      0, h - 1)
+        xs = jnp.clip((jnp.arange(out_w) * (w / out_w)).astype(jnp.int32),
+                      0, w - 1)
+        return x[:, ys][:, :, xs]
+
+    if not align_corners:
+        method = {'bilinear': 'bilinear', 'bicubic': 'bicubic'}[mode]
+        # antialias=False matches torch F.interpolate's plain (non-area)
+        # kernel on downsampling as well as upsampling
+        return jax.image.resize(x, (n, out_h, out_w, c), method=method,
+                                antialias=False)
+
+    # align_corners=True: src = dst * (in-1)/(out-1)
+    if mode != 'bilinear':
+        raise NotImplementedError(
+            f'align_corners=True only implemented for bilinear, got {mode}')
+    ys = jnp.linspace(0., h - 1., out_h)
+    xs = jnp.linspace(0., w - 1., out_w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0).astype(x.dtype)[None, :, None, None]
+    wx = (xs - x0).astype(x.dtype)[None, None, :, None]
+
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def pixel_shuffle(x, upscale_factor):
+    """NHWC pixel shuffle with torch channel semantics:
+    in channel index = c*r*r + i*r + j -> out (c, h*r+i, w*r+j)."""
+    n, h, w, c = x.shape
+    r = upscale_factor
+    oc = c // (r * r)
+    x = x.reshape(n, h, w, oc, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, r, w, r, oc
+    return x.reshape(n, h * r, w * r, oc)
+
+
+def pixel_unshuffle(x, scale):
+    """Inverse of pixel_shuffle (reference arch_util.py:272-289)."""
+    n, h, w, c = x.shape
+    r = scale
+    oh, ow = h // r, w // r
+    x = x.reshape(n, oh, r, ow, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # n, oh, ow, c, r, r
+    return x.reshape(n, oh, ow, c * r * r)

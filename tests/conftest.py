@@ -2,7 +2,9 @@
 paths are exercised without TPU hardware."""
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'
+# skip axon TPU-plugin registration (slow relay handshake) for CPU tests
+os.environ.pop('PALLAS_AXON_POOL_IPS', None)
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
