@@ -1,0 +1,102 @@
+"""Shared arch building blocks (flax / NHWC).
+
+Rebuild of reference basicsr/archs/arch_util.py. Module attribute names
+mirror the reference's torch module names so the generic torch->flax
+checkpoint converter (mrefsr_tpu/convert.py) maps state dicts by name.
+"""
+import math
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mrefsr_tpu.ops import pixel_shuffle
+
+
+def default_init(scale=1.0):
+    """Kaiming-normal (fan_in, gain sqrt(2)) scaled by ``scale`` — matches
+    reference default_init_weights (arch_util.py:43-72) where weights are
+    kaiming-initialized then multiplied by ``scale``."""
+    return nn.initializers.variance_scaling(2.0 * scale * scale, 'fan_in',
+                                            'normal')
+
+
+def srntt_normal_init(std=0.02):
+    """N(0, std) init used by srntt_init_weights (arch_util.py:18-40)."""
+    return nn.initializers.normal(stddev=std)
+
+
+class PReLU(nn.Module):
+    """Channel-shared PReLU matching torch nn.PReLU(num_parameters=1)."""
+    num_parameters: int = 1
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            'weight', lambda key: jnp.full((self.num_parameters,),
+                                           self.init, jnp.float32))
+        a = alpha if self.num_parameters == 1 else alpha.reshape(
+            (1,) * (x.ndim - 1) + (-1,))
+        return jnp.where(x >= 0, x, a * x)
+
+
+def lrelu(x, slope=0.1):
+    return jax.nn.leaky_relu(x, slope)
+
+
+class ResidualBlockNoBN(nn.Module):
+    """Conv-ReLU-Conv residual block (reference arch_util.py:89-117).
+
+    Weights kaiming-init scaled 0.1 like the reference unless
+    pytorch_init.
+    """
+    num_feat: int = 64
+    res_scale: float = 1.0
+    pytorch_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        init = (nn.initializers.lecun_normal() if self.pytorch_init
+                else default_init(0.1))
+        identity = x
+        out = nn.Conv(self.num_feat, (3, 3), padding=1, kernel_init=init,
+                      name='conv1')(x)
+        out = nn.relu(out)
+        out = nn.Conv(self.num_feat, (3, 3), padding=1, kernel_init=init,
+                      name='conv2')(out)
+        return identity + out * self.res_scale
+
+
+def run_blocks(x, block_cls, num_blocks, prefix, *args, **kwargs):
+    """Apply ``num_blocks`` identical blocks named '<prefix>.<i>' — the
+    flax analogue of make_layer + nn.Sequential
+    (reference arch_util.py:73-87). Must be called inside a compact
+    module."""
+    for i in range(num_blocks):
+        x = block_cls(**kwargs, name=f'{prefix}.{i}')(x, *args)
+    return x
+
+
+def upsample_pixelshuffle(x, scale, num_feat, prefix='upsample'):
+    """Conv + PixelShuffle upsampler for scales 2^n / 3
+    (reference arch_util.py:120-141). Conv children named
+    '<prefix>.0', '<prefix>.2', ... to match the torch nn.Sequential
+    state dict (PixelShuffle layers own the odd indices). Must be called
+    inside a compact module."""
+    idx = 0
+    if (scale & (scale - 1)) == 0:  # power of 2
+        for _ in range(int(math.log2(scale))):
+            x = nn.Conv(4 * num_feat, (3, 3), padding=1,
+                        name=f'{prefix}.{idx}')(x)
+            x = pixel_shuffle(x, 2)
+            idx += 2
+    elif scale == 3:
+        x = nn.Conv(9 * num_feat, (3, 3), padding=1,
+                    name=f'{prefix}.{idx}')(x)
+        x = pixel_shuffle(x, 3)
+    else:
+        raise ValueError(f'scale {scale} is not supported. '
+                         'Supported scales: 2^n and 3.')
+    return x

@@ -1,0 +1,172 @@
+"""Torch ``.pth`` checkpoint -> flax pytree conversion.
+
+Keeps the reference's checkpoint surface importable
+(reference base_model.py:198-243 saves ``{param_key: state_dict}`` with
+``module.`` prefixes stripped): the same files load into this framework's
+flax modules. Name mapping is mechanical because our flax modules mirror
+the reference's torch attribute names:
+
+    torch key                      flax path
+    conv_first.weight          ->  ('conv_first', 'kernel')   OIHW->HWIO
+    body.0.conv1.bias          ->  ('body', '0', 'conv1', 'bias')
+    linear.weight              ->  ('linear', 'kernel')       (O,I)->(I,O)
+    prelu.weight               ->  ('prelu', 'weight')
+    bn.weight / bn.bias        ->  ('bn', 'scale') / ('bn', 'bias')
+    bn.running_mean/var        ->  batch_stats ('bn', 'mean'/'var')
+"""
+import numpy as np
+
+
+def load_torch_state_dict(path, param_key='params'):
+    """Load a reference-format .pth: {param_key: state_dict} or a bare
+    state_dict; strips ``module.`` prefixes (reference
+    base_model.py:280-306)."""
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=True)
+    if param_key is not None and isinstance(ckpt, dict) \
+            and param_key in ckpt:
+        ckpt = ckpt[param_key]
+    elif isinstance(ckpt, dict) and 'params' in ckpt \
+            and all(not hasattr(v, 'numpy') for k, v in ckpt.items()
+                    if k == 'params'):
+        ckpt = ckpt['params']
+    out = {}
+    for k, v in ckpt.items():
+        if k.startswith('module.'):
+            k = k[7:]
+        out[k] = v.numpy() if hasattr(v, 'numpy') else np.asarray(v)
+    return out
+
+
+def torch_to_flax(state_dict, rename=None):
+    """Convert a flat torch state dict to flax {'params':..,'batch_stats':..}.
+
+    Args:
+        state_dict: {torch_key: numpy array}.
+        rename: optional callable(torch_key)->torch_key applied first
+            (for archs whose module graph differs from ours).
+
+    Returns:
+        dict with 'params' (and 'batch_stats' if BN buffers present).
+    """
+    params = {}
+    batch_stats = {}
+    # modules owning running stats are norm layers: their 1-D 'weight' maps
+    # to flax's 'scale'
+    norm_modules = {k.rsplit('.', 1)[0] for k in state_dict
+                    if k.endswith('running_mean')}
+    for key, val in state_dict.items():
+        if rename is not None:
+            key = rename(key)
+            if key is None:
+                continue
+        parts = _split_key(key)
+        leaf = parts[-1]
+        path = parts[:-1]
+        val = np.asarray(val)
+
+        if leaf == 'running_mean':
+            _set(batch_stats, path + ['mean'], val)
+            continue
+        if leaf == 'running_var':
+            _set(batch_stats, path + ['var'], val)
+            continue
+        if leaf == 'num_batches_tracked':
+            continue
+        if leaf == 'weight':
+            if val.ndim == 4:  # conv OIHW -> HWIO
+                _set(params, path + ['kernel'], val.transpose(2, 3, 1, 0))
+            elif val.ndim == 2:  # linear (O,I) -> (I,O)
+                _set(params, path + ['kernel'], val.transpose(1, 0))
+            elif val.ndim == 1 and key.rsplit('.', 1)[0] in norm_modules:
+                _set(params, path + ['scale'], val)  # BatchNorm gamma
+            else:
+                # 1-D non-norm weight: PReLU alpha etc. keeps torch name
+                _set(params, path + ['weight'], val)
+            continue
+        _set(params, path + [leaf], val)
+
+    out = {'params': params}
+    if batch_stats:
+        out['batch_stats'] = batch_stats
+    return out
+
+
+def _split_key(key):
+    """Split a torch key into flax path components, merging numeric
+    Sequential indices into their parent: ``body.0.conv1.weight`` ->
+    ``['body.0', 'conv1', 'weight']`` (our flax modules name list children
+    ``parent.i``)."""
+    out = []
+    for part in key.split('.'):
+        if part.isdigit() and out:
+            out[-1] = f'{out[-1]}.{part}'
+        else:
+            out.append(part)
+    return out
+
+
+def _set(tree, path, val):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = val
+
+
+def flax_to_torch(params, batch_stats=None):
+    """Inverse conversion for saving reference-compatible .pth files."""
+    flat = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            p = f'{prefix}.{k}' if prefix else k
+            if isinstance(v, dict):
+                walk(v, p)
+            else:
+                flat[p] = np.asarray(v)
+
+    walk(params, '')
+    out = {}
+    for key, val in flat.items():
+        parts = key.split('.')
+        leaf = parts[-1]
+        base = '.'.join(parts[:-1])
+        if leaf == 'kernel':
+            if val.ndim == 4:
+                out[f'{base}.weight'] = val.transpose(3, 2, 0, 1)
+            else:
+                out[f'{base}.weight'] = val.transpose(1, 0)
+        elif leaf == 'scale':
+            out[f'{base}.weight'] = val
+        else:
+            out[f'{base}.{leaf}'] = val
+    if batch_stats:
+        walk_stats = {}
+
+        def walk2(node, prefix):
+            for k, v in node.items():
+                p = f'{prefix}.{k}' if prefix else k
+                if isinstance(v, dict):
+                    walk2(v, p)
+                else:
+                    walk_stats[p] = np.asarray(v)
+
+        walk2(batch_stats, '')
+        for key, val in walk_stats.items():
+            parts = key.split('.')
+            leaf = parts[-1]
+            base = '.'.join(parts[:-1])
+            if leaf == 'mean':
+                out[f'{base}.running_mean'] = val
+            elif leaf == 'var':
+                out[f'{base}.running_var'] = val
+    return out
+
+
+def save_torch_checkpoint(path, params, batch_stats=None,
+                          param_key='params'):
+    """Write a reference-format .pth via torch.save."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flax_to_torch(params, batch_stats).items()}
+    torch.save({param_key: sd}, path)
