@@ -1,0 +1,562 @@
+"""Multi-reference restoration training strategy (the LMR north star).
+
+Rebuild of reference basicsr/models/multi_ref_restoration_model.py:21-386:
+three networks — frozen correspondence generator (net_map), frozen
+contrastive VGG16 extractor (net_extractor), trainable MRAPA net (net_g)
+— with per-parameter-group LRs for the DCN offset convs
+('offset'/'small'/'medium' name routing, reference :60-89), a
+pixel-pretrain phase then optional WGAN phase, and PSNR/PSNR_Y/SSIM_Y
+validation with un-padding.
+
+TPU form: the whole forward (extractor -> per-ref matching -> MRAPA) is
+ONE jitted graph per step; the reference's per-ref python loops
+(:198-205) are a T-into-batch fold, and the per-sample matching loop
+(corres generation) is a vmap. Gradients flow only into net_g; the
+frozen towers' variables ride along as untraced constants.
+"""
+import os.path as osp
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mrefsr_tpu.archs import build_network
+from mrefsr_tpu.losses import legacy_losses
+from mrefsr_tpu.metrics import calculate_psnr, calculate_ssim
+from mrefsr_tpu.parallel import batch_sharding, replicate
+from mrefsr_tpu.utils import (ProgressBar, get_root_logger, imwrite,
+                              tensor2img)
+from mrefsr_tpu.utils.registry import MODEL_REGISTRY
+
+from .base_model import BaseModel
+
+
+def _drop_buffer_keys(key):
+    """Drop torch buffers (imagenet mean/std) when importing extractor
+    checkpoints (reference registers them as buffers,
+    contras_extractor_arch.py:31-38; ours are constants)."""
+    if key.endswith('.mean') or key.endswith('.std') or key in ('mean',
+                                                                'std'):
+        return None
+    return key
+
+
+@MODEL_REGISTRY.register()
+class MultiRefRestorationModel(BaseModel):
+
+    _multi_ref = True
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.net_map = build_network(opt['network_map'])
+        self.net_extractor = build_network(opt['network_extractor'])
+        self.net_g = build_network(opt['network_g'])
+        self.net_d = build_network(opt['network_d']) \
+            if opt.get('network_d') else None
+
+        self.vars_map = None
+        self.vars_extractor = None
+        self.vars_g = None
+        self.vars_d = None
+        self.opt_state_g = None
+        self.opt_state_d = None
+        self._train_step_pix = None
+        self._train_step_gan = None
+        self._eval_step = None
+        self._resume_trees = None
+
+        if self.is_train:
+            self.init_training_settings()
+
+    # ------------------------------------------------------------- settings
+    def init_training_settings(self):
+        train_opt = self.opt['train']
+        logger = get_root_logger()
+
+        # losses from the legacy module, fetched by name
+        # (reference :116-168)
+        if train_opt['pixel_weight'] > 0:
+            cri_pix_cls = getattr(legacy_losses,
+                                  train_opt['pixel_criterion'])
+            self.cri_pix = cri_pix_cls(
+                loss_weight=train_opt['pixel_weight'], reduction='mean')
+        else:
+            logger.info('Remove pixel loss.')
+            self.cri_pix = None
+
+        if train_opt.get('perceptual_opt'):
+            self.cri_perceptual = legacy_losses.PerceptualLoss(
+                **train_opt['perceptual_opt'])
+        else:
+            logger.info('Remove perceptual loss.')
+            self.cri_perceptual = None
+
+        if train_opt.get('style_opt'):
+            self.cri_style = legacy_losses.PerceptualLoss(
+                **train_opt['style_opt'])
+        else:
+            logger.info('Remove style loss.')
+            self.cri_style = None
+
+        if train_opt.get('gan_type'):
+            self.cri_gan = legacy_losses.GANLoss(
+                train_opt['gan_type'], real_label_val=1.0,
+                fake_label_val=0.0, loss_weight=train_opt['gan_weight'])
+            if train_opt.get('grad_penalty_weight', 0) > 0:
+                self.cri_grad_penalty = legacy_losses.GradientPenaltyLoss(
+                    loss_weight=train_opt['grad_penalty_weight'])
+            else:
+                logger.info('Remove gradient penalty.')
+                self.cri_grad_penalty = None
+        else:
+            logger.info('Remove GAN loss.')
+            self.cri_gan = None
+            self.cri_grad_penalty = None
+
+        self.net_g_pretrain_steps = train_opt['net_g_pretrain_steps']
+        self.net_d_steps = train_opt.get('net_d_steps', 1)
+        self.net_d_init_steps = train_opt.get('net_d_init_steps', 0)
+
+        self.setup_schedulers()
+        self._setup_optimizer_defs()
+        self.log_dict = OrderedDict()
+
+    def _setup_optimizer_defs(self):
+        """Four-group Adam via optax.multi_transform with path-based labels
+        (reference :60-89)."""
+        train_opt = self.opt['train']
+        wd = train_opt.get('weight_decay_g', 0)
+        betas = train_opt.get('beta_g', [0.9, 0.999])
+        self.base_lrs = [train_opt['lr_g'], train_opt['lr_offset'],
+                         train_opt['lr_relu3_offset'],
+                         train_opt['lr_relu2_offset']]
+
+        def adam(lr):
+            fn = lambda step: lr * self.schedule_fn(step)  # noqa: E731
+            if wd:
+                return optax.adamw(fn, b1=betas[0], b2=betas[1],
+                                   weight_decay=wd)
+            return optax.adam(fn, b1=betas[0], b2=betas[1])
+
+        transforms = {
+            'g': adam(train_opt['lr_g']),
+            'offset': adam(train_opt['lr_offset']),
+            'relu3_offset': adam(train_opt['lr_relu3_offset']),
+            'relu2_offset': adam(train_opt['lr_relu2_offset']),
+        }
+
+        def label_fn(params):
+            def label(path):
+                joined = '.'.join(str(p) for p in path)
+                if 'offset' in joined:
+                    if 'small' in joined:
+                        return 'relu3_offset'
+                    if 'medium' in joined:
+                        return 'relu2_offset'
+                    return 'offset'
+                return 'g'
+
+            flat = jax.tree_util.tree_map_with_path(
+                lambda path, _: label(
+                    tuple(getattr(k, 'key', str(k)) for k in path)),
+                params)
+            return flat
+
+        self.tx_g = optax.multi_transform(transforms, label_fn)
+
+        if self.net_d is not None:
+            lr_d = train_opt['lr_d']
+            beta_d = train_opt.get('beta_d', [0.9, 0.999])
+            fn = lambda step: lr_d * self.schedule_fn(step)  # noqa: E731
+            self.tx_d = optax.adam(fn, b1=beta_d[0], b2=beta_d[1])
+
+    # ------------------------------------------------------------ lazy init
+    def _ensure_initialized(self, batch):
+        if self.vars_g is not None:
+            return
+        logger = get_root_logger()
+        rng = jax.random.PRNGKey(self.opt.get('manual_seed') or 0)
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+
+        match_img_in = jnp.asarray(batch['img_in_up'][:1])
+        refs = jnp.asarray(batch['img_ref_list'][:1])
+        lq = jnp.asarray(batch['img_in_lq'][:1])
+
+        # extractor
+        self.vars_extractor = self.net_extractor.init(r1, match_img_in,
+                                                      refs)
+        load_path = self.opt['path'].get(
+            'pretrain_network_feature_extractor')
+        if load_path:
+            loaded = self.load_network(load_path, param_key='params',
+                                       rename=_drop_buffer_keys)
+            self.vars_extractor = self._merge(self.vars_extractor, loaded)
+            logger.info('Loaded feature extractor from '
+                        f'{load_path}')
+
+        # net_map (vgg19 weights via vgg_pretrain_path, torchvision layout)
+        feats = self.net_extractor.apply(self.vars_extractor, match_img_in,
+                                         refs)
+        b, t = refs.shape[0], refs.shape[1]
+        d1 = feats['dense_features1']
+        d2 = feats['dense_features2']
+        d1_flat = jnp.broadcast_to(d1[:, None],
+                                   (b, t) + d1.shape[1:]).reshape(
+            (b * t,) + d1.shape[1:])
+        d2_flat = d2.reshape((b * t,) + d2.shape[2:])
+        refs_flat = refs.reshape((b * t,) + refs.shape[2:])
+        self.vars_map = self.net_map.init(
+            r2, {'dense_features1': d1_flat, 'dense_features2': d2_flat},
+            refs_flat)
+        vgg_path = self.opt['path'].get('vgg_pretrain_path')
+        if vgg_path:
+            from mrefsr_tpu.archs.vgg_arch import vgg_rename
+            from mrefsr_tpu.convert import (load_torch_state_dict,
+                                            torch_to_flax)
+            base = vgg_rename(self.net_map.vgg_type)
+
+            def rename(key):
+                r = base(key)
+                return f'vgg.{r}' if r else None
+
+            sd = load_torch_state_dict(vgg_path, param_key=None)
+            loaded = torch_to_flax(sd, rename=rename)
+            self.vars_map = self._merge(self.vars_map, loaded)
+            logger.info(f'Loaded VGG for net_map from {vgg_path}')
+
+        # net_g
+        pre_offset, img_ref_feat = self._run_map(d1, d2, refs)
+        self.vars_g = self.net_g.init(r3, lq, pre_offset, img_ref_feat)
+        load_path = self.opt['path'].get('pretrain_network_g')
+        if load_path:
+            loaded = self.load_network(load_path, param_key='params')
+            self.vars_g = self._merge(self.vars_g, loaded)
+            logger.info(f'Loaded net_g from {load_path}')
+
+        if self.net_d is not None:
+            gt = jnp.asarray(batch['img_in'][:1])
+            self.vars_d = self.net_d.init(r4, gt)
+            load_path = self.opt['path'].get('pretrain_network_d')
+            if load_path:
+                loaded = self.load_network(load_path, param_key='params')
+                self.vars_d = self._merge(self.vars_d, loaded)
+
+        # replicate over the mesh
+        self.vars_extractor = replicate(self.vars_extractor, self.mesh)
+        self.vars_map = replicate(self.vars_map, self.mesh)
+        self.vars_g = replicate(self.vars_g, self.mesh)
+        if self.vars_d is not None:
+            self.vars_d = replicate(self.vars_d, self.mesh)
+
+        if self.is_train and self.opt_state_g is None:
+            self.opt_state_g = self.tx_g.init(self.vars_g['params'])
+            if self.net_d is not None:
+                self.opt_state_d = self.tx_d.init(self.vars_d['params'])
+            if self._resume_trees:
+                self._restore_trees()
+
+    def _merge(self, init_vars, loaded_vars):
+        from .sr_model import SRModel
+        return SRModel._merge_loaded(self, init_vars, loaded_vars)
+
+    # ---------------------------------------------------------- forward fns
+    def _run_map(self, d1, d2, refs):
+        """Correspondence generation with the T refs folded into batch.
+
+        d1: (B,h,w,C); d2: (B,T,h,w,C); refs: (B,T,H,W,3).
+        Returns pre_offset / img_ref_feat dicts with (B,T,...) leaves.
+        """
+        b, t = refs.shape[0], refs.shape[1]
+        d1_flat = jnp.broadcast_to(
+            d1[:, None], (b, t) + d1.shape[1:]).reshape(
+            (b * t,) + d1.shape[1:])
+        d2_flat = d2.reshape((b * t,) + d2.shape[2:])
+        refs_flat = refs.reshape((b * t,) + refs.shape[2:])
+        pre_offset, img_ref_feat = self.net_map.apply(
+            self.vars_map,
+            {'dense_features1': d1_flat, 'dense_features2': d2_flat},
+            refs_flat)
+        unflat = lambda v: v.reshape((b, t) + v.shape[1:])  # noqa: E731
+        pre_offset = {k: unflat(v) for k, v in pre_offset.items()}
+        img_ref_feat = {k: unflat(v) for k, v in img_ref_feat.items()}
+        return pre_offset, img_ref_feat
+
+    def _forward(self, params_g, match_img_in, refs, lq):
+        feats = self.net_extractor.apply(self.vars_extractor, match_img_in,
+                                         refs)
+        pre_offset, img_ref_feat = self._run_map(
+            feats['dense_features1'], feats['dense_features2'], refs)
+        return self.net_g.apply(
+            dict(self.vars_g, params=params_g), lq, pre_offset,
+            img_ref_feat)
+
+    def _build_train_step_pix(self):
+        cri_pix = self.cri_pix
+        tx = self.tx_g
+
+        def step(vars_g, opt_state, match_img_in, refs, lq, gt, step_idx):
+            def loss_fn(params):
+                output = self._forward(params, match_img_in, refs, lq)
+                return cri_pix(output, gt)
+
+            l_pix, grads = jax.value_and_grad(loss_fn)(vars_g['params'])
+            updates, opt_state = tx.update(grads, opt_state,
+                                           vars_g['params'])
+            params = optax.apply_updates(vars_g['params'], updates)
+            return dict(vars_g, params=params), opt_state, \
+                {'l_pix': l_pix}
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_eval_step(self):
+        def step(vars_g, match_img_in, refs, lq):
+            return self._forward(vars_g['params'], match_img_in, refs, lq)
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------ API
+    def feed_data(self, data):
+        self.img_in_lq = np.asarray(data['img_in_lq'], np.float32)
+        self.img_ref_list = np.asarray(data['img_ref_list'], np.float32)
+        self.gt = np.asarray(data['img_in'], np.float32)
+        self.match_img_in = np.asarray(data['img_in_up'], np.float32)
+        self._ensure_initialized({
+            'img_in_up': self.match_img_in,
+            'img_ref_list': self.img_ref_list,
+            'img_in_lq': self.img_in_lq,
+            'img_in': self.gt,
+        })
+
+    def optimize_parameters(self, step):
+        sharding = batch_sharding(self.mesh)
+        match_img_in = jax.device_put(self.match_img_in, sharding)
+        refs = jax.device_put(self.img_ref_list, sharding)
+        lq = jax.device_put(self.img_in_lq, sharding)
+        gt = jax.device_put(self.gt, sharding)
+
+        if step <= self.net_g_pretrain_steps or self.net_d is None:
+            if self._train_step_pix is None:
+                self._train_step_pix = self._build_train_step_pix()
+            self.vars_g, self.opt_state_g, losses = self._train_step_pix(
+                self.vars_g, self.opt_state_g, match_img_in, refs, lq, gt,
+                step - 1)
+            self.log_dict = self.reduce_loss_dict(losses)
+        else:
+            self._optimize_gan(step, match_img_in, refs, lq, gt)
+
+    def _build_train_step_gan(self):
+        cri_pix = self.cri_pix
+        cri_gan = self.cri_gan
+        cri_grad_penalty = self.cri_grad_penalty
+        tx_g, tx_d = self.tx_g, self.tx_d
+        net_d_apply = self.net_d.apply
+        vgg_vars = getattr(self, 'vgg_variables', None)
+        cri_perceptual = self.cri_perceptual
+        cri_style = self.cri_style
+
+        def step(vars_g, vars_d, opt_g, opt_d, match_img_in, refs, lq, gt,
+                 rng, g_turn):
+            output = self._forward(vars_g['params'], match_img_in, refs,
+                                   lq)
+            output_sg = jax.lax.stop_gradient(output)
+            losses = {}
+
+            # ---- discriminator update (reference :219-242)
+            def d_loss_fn(params_d):
+                dv = dict(vars_d, params=params_d)
+                real_pred = net_d_apply(dv, gt)
+                fake_pred = net_d_apply(dv, output_sg)
+                l_d_real = cri_gan(real_pred, True, is_disc=True)
+                l_d_fake = cri_gan(fake_pred, False, is_disc=True)
+                total = l_d_real + l_d_fake
+                aux = {'l_d_real': l_d_real, 'l_d_fake': l_d_fake,
+                       'out_d_real': real_pred.mean(),
+                       'out_d_fake': fake_pred.mean()}
+                if cri_grad_penalty is not None:
+                    l_gp = cri_grad_penalty(
+                        lambda z: net_d_apply(dv, z), gt, output_sg, rng)
+                    total = total + l_gp
+                    aux['l_grad_penalty'] = l_gp
+                return total, aux
+
+            (l_d, d_aux), grads_d = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(vars_d['params'])
+            updates_d, opt_d = tx_d.update(grads_d, opt_d,
+                                           vars_d['params'])
+            params_d = optax.apply_updates(vars_d['params'], updates_d)
+            vars_d = dict(vars_d, params=params_d)
+            losses.update(d_aux)
+
+            # ---- generator update (reference :244-279), gated on g_turn
+            def g_loss_fn(params_g):
+                out = self._forward(params_g, match_img_in, refs, lq)
+                total = 0.
+                aux = {}
+                if cri_pix is not None:
+                    l_g_pix = cri_pix(out, gt)
+                    total += l_g_pix
+                    aux['l_g_pix'] = l_g_pix
+                if cri_perceptual is not None:
+                    l_p, _ = cri_perceptual(out, gt, vgg_vars)
+                    total += l_p
+                    aux['l_g_percep'] = l_p
+                if cri_style is not None:
+                    _, l_s = cri_style(out, gt, vgg_vars)
+                    total += l_s
+                    aux['l_g_style'] = l_s
+                fake_g_pred = net_d_apply(vars_d, out)
+                l_g_gan = cri_gan(fake_g_pred, True, is_disc=False)
+                total += l_g_gan
+                aux['l_g_gan'] = l_g_gan
+                return total, aux
+
+            def do_g(_):
+                (l_g, g_aux), grads_g = jax.value_and_grad(
+                    g_loss_fn, has_aux=True)(vars_g['params'])
+                updates_g, new_opt_g = tx_g.update(grads_g, opt_g,
+                                                   vars_g['params'])
+                params_g = optax.apply_updates(vars_g['params'],
+                                               updates_g)
+                return params_g, new_opt_g, g_aux
+
+            def skip_g(_):
+                zero_aux = {k: jnp.zeros(()) for k in
+                            ('l_g_pix', 'l_g_gan')}
+                if cri_perceptual is not None:
+                    zero_aux['l_g_percep'] = jnp.zeros(())
+                if cri_style is not None:
+                    zero_aux['l_g_style'] = jnp.zeros(())
+                return vars_g['params'], opt_g, zero_aux
+
+            params_g, opt_g, g_aux = jax.lax.cond(g_turn, do_g, skip_g,
+                                                  None)
+            vars_g = dict(vars_g, params=params_g)
+            losses.update(g_aux)
+            return vars_g, vars_d, opt_g, opt_d, losses
+
+        return jax.jit(step, donate_argnums=(0, 1, 2, 3))
+
+    def _optimize_gan(self, step, match_img_in, refs, lq, gt):
+        if self._train_step_gan is None:
+            self._train_step_gan = self._build_train_step_gan()
+        g_turn = ((step - self.net_g_pretrain_steps) % self.net_d_steps
+                  == 0) and (step - self.net_g_pretrain_steps
+                             ) > self.net_d_init_steps
+        rng = self.next_rng()
+        (self.vars_g, self.vars_d, self.opt_state_g, self.opt_state_d,
+         losses) = self._train_step_gan(
+            self.vars_g, self.vars_d, self.opt_state_g, self.opt_state_d,
+            match_img_in, refs, lq, gt, rng, g_turn)
+        self.log_dict = self.reduce_loss_dict(losses)
+
+    def test(self):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        self.output = self._eval_step(self.vars_g,
+                                      jnp.asarray(self.match_img_in),
+                                      jnp.asarray(self.img_ref_list),
+                                      jnp.asarray(self.img_in_lq))
+
+    def get_current_visuals(self):
+        out_dict = OrderedDict()
+        out_dict['img_in_lq'] = np.asarray(self.img_in_lq)
+        out_dict['rlt'] = np.asarray(self.output)
+        if self.gt is not None:
+            out_dict['gt'] = np.asarray(self.gt)
+        return out_dict
+
+    def save(self, epoch, current_iter):
+        self.save_network(self.vars_g, 'net_g', current_iter)
+        if self.net_d is not None and self.vars_d is not None:
+            self.save_network(self.vars_d, 'net_d', current_iter)
+        trees = {'opt_state_g': self.opt_state_g}
+        if self.opt_state_d is not None:
+            trees['opt_state_d'] = self.opt_state_d
+        self.save_training_state(epoch, current_iter, trees)
+
+    def resume_training(self, resume_state):
+        self._resume_trees = resume_state.get('trees', {})
+
+    def _restore_trees(self):
+        from flax import serialization
+        if 'opt_state_g' in self._resume_trees:
+            self.opt_state_g = serialization.from_bytes(
+                self.opt_state_g, self._resume_trees['opt_state_g'])
+        if 'opt_state_d' in self._resume_trees and \
+                self.opt_state_d is not None:
+            self.opt_state_d = serialization.from_bytes(
+                self.opt_state_d, self._resume_trees['opt_state_d'])
+        self._resume_trees = None
+
+    # ---------------------------------------------------------- validation
+    def nondist_validation(self, dataloader, current_iter, tb_logger,
+                           save_img):
+        """CUFED5-style validation: un-pad, PSNR (RGB), PSNR_Y, SSIM_Y at
+        crop_border (reference :316-387)."""
+        logger = get_root_logger()
+        avg_psnr = avg_psnr_y = avg_ssim_y = 0.
+        dataset_name = dataloader.dataset.opt['name']
+        idx = -1
+        for idx, val_data in enumerate(dataloader):
+            lq_path = val_data['lq_path'][0] if isinstance(
+                val_data['lq_path'], list) else val_data['lq_path']
+            img_name = osp.splitext(osp.basename(lq_path))[0]
+
+            self.feed_data(val_data)
+            self.test()
+
+            visuals = self.get_current_visuals()
+            sr_img = tensor2img(visuals['rlt'])
+            gt_img = tensor2img(visuals['gt'])
+
+            if 'padding' in val_data:
+                original_size = val_data['original_size']
+                if isinstance(original_size, np.ndarray):
+                    original_size = original_size[0]
+                elif isinstance(original_size, list):
+                    original_size = original_size[0]
+                sr_img = sr_img[:int(original_size[0]),
+                                :int(original_size[1])]
+
+            if save_img:
+                if self.opt['is_train']:
+                    save_img_path = osp.join(
+                        self.opt['path']['visualization'], img_name,
+                        f'{img_name}_{current_iter}.png')
+                else:
+                    save_img_path = osp.join(
+                        self.opt['path']['visualization'], dataset_name,
+                        f"{img_name}_{self.opt['name']}.png")
+                    if self.opt.get('suffix'):
+                        save_img_path = save_img_path.replace(
+                            '.png', f'_{self.opt["suffix"]}.png')
+                imwrite(sr_img, save_img_path)
+
+            crop_border = self.opt['crop_border']
+            avg_psnr += calculate_psnr(sr_img, gt_img,
+                                       crop_border=crop_border,
+                                       test_y_channel=False)
+            avg_psnr_y += calculate_psnr(sr_img, gt_img,
+                                         crop_border=crop_border,
+                                         test_y_channel=True)
+            avg_ssim_y += calculate_ssim(sr_img, gt_img,
+                                         crop_border=crop_border,
+                                         test_y_channel=True)
+
+        if idx < 0:
+            return
+        avg_psnr /= (idx + 1)
+        avg_psnr_y /= (idx + 1)
+        avg_ssim_y /= (idx + 1)
+        self.metric_results = {'psnr': avg_psnr, 'psnr_y': avg_psnr_y,
+                               'ssim_y': avg_ssim_y}
+
+        logger.info(f'# Validation {dataset_name} # PSNR: {avg_psnr:.4e} '
+                    f'# PSNR_Y: {avg_psnr_y:.4e} '
+                    f'# SSIM_Y: {avg_ssim_y:.4e}.')
+        if tb_logger:
+            tb_logger.add_scalar('psnr', avg_psnr, current_iter)
+            tb_logger.add_scalar('psnr_y', avg_psnr_y, current_iter)
+            tb_logger.add_scalar('ssim_y', avg_ssim_y, current_iter)

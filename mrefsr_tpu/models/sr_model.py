@@ -1,0 +1,351 @@
+"""SRModel: base single-image SR training strategy, functional TPU form.
+
+Rebuild of reference basicsr/models/sr_model.py:15-231. The torch
+forward/backward/step triple becomes one jitted train step (grads via
+jax.value_and_grad, optax update, EMA blend) with the batch sharded over
+the data mesh and params replicated — XLA inserts the gradient
+all-reduce over ICI, replacing DDP.
+"""
+import os.path as osp
+from collections import OrderedDict
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mrefsr_tpu.archs import build_network
+from mrefsr_tpu.losses import build_loss
+from mrefsr_tpu.metrics import calculate_metric
+from mrefsr_tpu.parallel import batch_sharding, replicate
+from mrefsr_tpu.utils import get_root_logger, imwrite, tensor2img
+from mrefsr_tpu.utils.registry import MODEL_REGISTRY
+
+from .base_model import BaseModel
+
+
+@MODEL_REGISTRY.register()
+class SRModel(BaseModel):
+    """Base SR model for single image super-resolution."""
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.net_g = build_network(opt['network_g'])
+        self.variables = None
+        self.ema_variables = None
+        self.opt_state = None
+        self._train_step = None
+        self._eval_step = None
+
+        self._pretrain_path = self.opt['path'].get('pretrain_network_g')
+        self._param_key_g = self.opt['path'].get('param_key_g', 'params')
+        self.ema_decay = 0
+
+        if self.is_train:
+            self.init_training_settings()
+
+    # ------------------------------------------------------------- settings
+    def init_training_settings(self):
+        train_opt = self.opt['train']
+        self.ema_decay = train_opt.get('ema_decay', 0)
+        if self.ema_decay > 0:
+            get_root_logger().info(
+                f'Use Exponential Moving Average with decay: '
+                f'{self.ema_decay}')
+
+        self.cri_pix = build_loss(train_opt['pixel_opt']) \
+            if train_opt.get('pixel_opt') else None
+        self.cri_perceptual = build_loss(train_opt['perceptual_opt']) \
+            if train_opt.get('perceptual_opt') else None
+        if self.cri_pix is None and self.cri_perceptual is None:
+            raise ValueError('Both pixel and perceptual losses are None.')
+        self.vgg_variables = None
+        if self.cri_perceptual is not None:
+            self.vgg_variables = self._load_vgg_variables(
+                self.cri_perceptual.vgg)
+
+        self.setup_schedulers()
+        self.setup_optimizers()
+
+    def _load_vgg_variables(self, vgg_module):
+        """VGG weights for perceptual losses: from
+        path.vgg_pretrain_path (torchvision-layout .pth) if given, else
+        random init (tests)."""
+        from mrefsr_tpu.archs.vgg_arch import vgg_rename
+        path = self.opt['path'].get('vgg_pretrain_path')
+        if path:
+            from mrefsr_tpu.convert import load_torch_state_dict, \
+                torch_to_flax
+            sd = load_torch_state_dict(path, param_key=None)
+            variables = torch_to_flax(sd,
+                                      rename=vgg_rename(
+                                          vgg_module.vgg_type))
+            return jax.tree_util.tree_map(jnp.asarray, variables)
+        dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        return vgg_module.init(jax.random.PRNGKey(0), dummy)
+
+    def setup_optimizers(self):
+        train_opt = self.opt['train']
+        optim_opt = dict(train_opt['optim_g'])
+        optim_type = optim_opt.pop('type')
+        base_lr = optim_opt.pop('lr')
+        self.base_lrs = [base_lr]
+        self.tx = self.build_optimizer(optim_type, base_lr,
+                                       self.schedule_fn, **optim_opt)
+
+    # -------------------------------------------------------- lazy init
+    def _ensure_initialized(self, example_lq):
+        if self.variables is not None:
+            return
+        rng = jax.random.PRNGKey(self.opt.get('manual_seed') or 0)
+        self.variables = self.net_g.init(rng, jnp.asarray(example_lq[:1]))
+        if self._pretrain_path is not None:
+            loaded = self.load_network(self._pretrain_path,
+                                       strict=self.opt['path'].get(
+                                           'strict_load_g', True),
+                                       param_key=self._param_key_g)
+            self.variables = self._merge_loaded(self.variables, loaded)
+        self.variables = replicate(self.variables, self.mesh)
+        if self.is_train:
+            if self.ema_decay > 0:
+                ema_path = self._pretrain_path
+                self.ema_variables = None
+                if ema_path is not None:
+                    try:
+                        loaded = self.load_network(ema_path, strict=True,
+                                                   param_key='params_ema')
+                        self.ema_variables = self._merge_loaded(
+                            self.variables, loaded)
+                    except Exception:
+                        pass
+                if self.ema_variables is None:
+                    # distinct buffers: ema and params are both donated by
+                    # the train step
+                    self.ema_variables = jax.tree_util.tree_map(
+                        jnp.copy, self.variables)
+            if self.opt_state is None:
+                self.opt_state = self.tx.init(self.variables['params'])
+                if self._resume_trees is not None:
+                    self._restore_trees()
+
+    _resume_trees = None
+
+    def _merge_loaded(self, init_vars, loaded_vars):
+        """Overlay loaded arrays onto the initialized structure, skipping
+        size mismatches with a warning (reference
+        _print_different_keys_loading, base_model.py:245-278)."""
+        logger = get_root_logger()
+
+        def merge(init_node, loaded_node, path=''):
+            if not isinstance(init_node, dict):
+                if loaded_node is None:
+                    logger.warning(f'missing key in checkpoint: {path}')
+                    return init_node
+                if hasattr(loaded_node, 'shape') and \
+                        tuple(loaded_node.shape) != tuple(init_node.shape):
+                    logger.warning(
+                        f'Size different for {path}: ckpt '
+                        f'{loaded_node.shape} vs model {init_node.shape}; '
+                        'ignored.')
+                    return init_node
+                return jnp.asarray(loaded_node)
+            out = {}
+            for k, v in init_node.items():
+                lv = loaded_node.get(k) if isinstance(loaded_node, dict) \
+                    else None
+                out[k] = merge(v, lv, f'{path}.{k}' if path else k)
+            if isinstance(loaded_node, dict):
+                for k in loaded_node:
+                    if k not in init_node:
+                        logger.warning(f'unexpected ckpt key: '
+                                       f'{path}.{k}' if path else k)
+            return out
+
+        return merge(init_vars, loaded_vars)
+
+    # ----------------------------------------------------------- step fns
+    def _build_train_step(self):
+        net_apply = self.net_g.apply
+        cri_pix = self.cri_pix
+        cri_perceptual = self.cri_perceptual
+        tx = self.tx
+        ema_decay = self.ema_decay
+
+        def step(variables, opt_state, ema_variables, vgg_variables, lq,
+                 gt, step_idx):
+            def loss_fn(params):
+                output = net_apply({'params': params}, lq)
+                losses = OrderedDict()
+                total = 0.
+                if cri_pix is not None:
+                    l_pix = cri_pix(output, gt)
+                    total += l_pix
+                    losses['l_pix'] = l_pix
+                if cri_perceptual is not None:
+                    l_percep, l_style = cri_perceptual(output, gt,
+                                                       vgg_variables)
+                    if l_percep is not None:
+                        total += l_percep
+                        losses['l_percep'] = l_percep
+                    if l_style is not None:
+                        total += l_style
+                        losses['l_style'] = l_style
+                return total, losses
+
+            params = variables['params']
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            new_vars = dict(variables, params=params)
+            if ema_decay > 0:
+                ema_variables = jax.tree_util.tree_map(
+                    lambda e, p: e * ema_decay + p * (1 - ema_decay),
+                    ema_variables, new_vars)
+            return new_vars, opt_state, ema_variables, losses
+
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def _build_eval_step(self):
+        net_apply = self.net_g.apply
+
+        def step(variables, lq):
+            return net_apply(variables, lq)
+
+        return jax.jit(step)
+
+    # ---------------------------------------------------------------- API
+    def feed_data(self, data):
+        self.lq = np.asarray(data['lq'], np.float32)
+        self._ensure_initialized(self.lq)
+        self.gt = np.asarray(data['gt'], np.float32) \
+            if 'gt' in data else None
+
+    def optimize_parameters(self, current_iter):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        sharding = batch_sharding(self.mesh)
+        lq = jax.device_put(self.lq, sharding)
+        gt = jax.device_put(self.gt, sharding)
+        ema = self.ema_variables if self.ema_decay > 0 else None
+        self.variables, self.opt_state, self.ema_variables, losses = \
+            self._train_step(self.variables, self.opt_state, ema,
+                             self.vgg_variables, lq, gt,
+                             current_iter - 1)
+        self.log_dict = self.reduce_loss_dict(losses)
+
+    def test(self):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        variables = self.ema_variables if (
+            self.ema_decay > 0 and self.ema_variables is not None) \
+            else self.variables
+        self.output = self._eval_step(variables, jnp.asarray(self.lq))
+
+    # ------------------------------------------------------------- visuals
+    def get_current_visuals(self):
+        out_dict = OrderedDict()
+        out_dict['lq'] = np.asarray(self.lq)
+        out_dict['result'] = np.asarray(self.output)
+        if self.gt is not None:
+            out_dict['gt'] = np.asarray(self.gt)
+        return out_dict
+
+    # ---------------------------------------------------------- validation
+    def nondist_validation(self, dataloader, current_iter, tb_logger,
+                           save_img):
+        dataset_name = dataloader.dataset.opt['name']
+        with_metrics = self.opt['val'].get('metrics') is not None
+
+        if with_metrics:
+            if not hasattr(self, 'metric_results'):
+                self.metric_results = {
+                    metric: 0
+                    for metric in self.opt['val']['metrics'].keys()
+                }
+            self._initialize_best_metric_results(dataset_name)
+            self.metric_results = {m: 0 for m in self.metric_results}
+
+        metric_data = dict()
+        idx = -1
+        for idx, val_data in enumerate(dataloader):
+            lq_path = val_data['lq_path'][0] if isinstance(
+                val_data['lq_path'], list) else val_data['lq_path']
+            img_name = osp.splitext(osp.basename(lq_path))[0]
+            self.feed_data(val_data)
+            self.test()
+
+            visuals = self.get_current_visuals()
+            sr_img = tensor2img(visuals['result'])
+            metric_data['img'] = sr_img
+            if 'gt' in visuals:
+                metric_data['img2'] = tensor2img(visuals['gt'])
+
+            if save_img:
+                if self.opt['is_train']:
+                    save_img_path = osp.join(
+                        self.opt['path']['visualization'], img_name,
+                        f'{img_name}_{current_iter}.png')
+                elif self.opt['val'].get('suffix'):
+                    save_img_path = osp.join(
+                        self.opt['path']['visualization'], dataset_name,
+                        f'{img_name}_{self.opt["val"]["suffix"]}.png')
+                else:
+                    save_img_path = osp.join(
+                        self.opt['path']['visualization'], dataset_name,
+                        f'{img_name}_{self.opt["name"]}.png')
+                imwrite(sr_img, save_img_path)
+
+            if with_metrics:
+                for name, opt_ in self.opt['val']['metrics'].items():
+                    self.metric_results[name] += calculate_metric(
+                        metric_data, opt_)
+
+        if with_metrics and idx >= 0:
+            for metric in self.metric_results.keys():
+                self.metric_results[metric] /= (idx + 1)
+                self._update_best_metric_result(
+                    dataset_name, metric, self.metric_results[metric],
+                    current_iter)
+            self._log_validation_metric_values(current_iter, dataset_name,
+                                               tb_logger)
+
+    def _log_validation_metric_values(self, current_iter, dataset_name,
+                                      tb_logger):
+        log_str = f'Validation {dataset_name}\n'
+        for metric, value in self.metric_results.items():
+            log_str += f'\t # {metric}: {value:.4f}'
+            if hasattr(self, 'best_metric_results'):
+                best = self.best_metric_results[dataset_name][metric]
+                log_str += (f'\tBest: {best["val"]:.4f} @ '
+                            f'{best["iter"]} iter')
+            log_str += '\n'
+        get_root_logger().info(log_str)
+        if tb_logger:
+            for metric, value in self.metric_results.items():
+                tb_logger.add_scalar(f'metrics/{dataset_name}/{metric}',
+                                     value, current_iter)
+
+    # ----------------------------------------------------------- save/load
+    def save(self, epoch, current_iter):
+        if self.ema_decay > 0 and self.ema_variables is not None:
+            self.save_network([self.variables, self.ema_variables],
+                              'net_g', current_iter,
+                              param_key=['params', 'params_ema'])
+        else:
+            self.save_network(self.variables, 'net_g', current_iter)
+        trees = {'opt_state_g': self.opt_state}
+        self.save_training_state(epoch, current_iter, trees)
+
+    def resume_training(self, resume_state):
+        """Defer optimizer-state restore until params are initialized
+        (reference base_model.py:343-356)."""
+        self._resume_trees = resume_state.get('trees', {})
+
+    def _restore_trees(self):
+        from flax import serialization
+        if 'opt_state_g' in self._resume_trees:
+            self.opt_state = serialization.from_bytes(
+                self.opt_state, self._resume_trees['opt_state_g'])
+        self._resume_trees = None

@@ -1,0 +1,48 @@
+"""Generic test pipeline (reference basicsr/test.py:11-45): build all
+test loaders + one model, run validation per loader."""
+import logging
+from os import path as osp
+
+from mrefsr_tpu.data import build_dataloader, build_dataset
+from mrefsr_tpu.models import build_model
+from mrefsr_tpu.utils import (get_env_info, get_root_logger, get_time_str,
+                              make_exp_dirs, parse_options)
+from mrefsr_tpu.utils.options import dict2str
+
+
+def test_pipeline(root_path, args=None):
+    opt, _ = parse_options(root_path, is_train=False, args=args)
+
+    make_exp_dirs(opt)
+    log_file = osp.join(opt['path']['log'],
+                        f"test_{opt['name']}_{get_time_str()}.log")
+    logger = get_root_logger(log_level=logging.INFO, log_file=log_file)
+    logger.info(get_env_info())
+    logger.info(dict2str(opt))
+
+    # create test dataset and dataloader
+    test_loaders = []
+    for _, dataset_opt in sorted(opt['datasets'].items()):
+        test_set = build_dataset(dataset_opt)
+        test_loader = build_dataloader(test_set, dataset_opt,
+                                       num_gpu=opt.get('num_gpu', 1),
+                                       dist=opt['dist'])
+        logger.info(f'Number of test images in '
+                    f"{dataset_opt['name']}: {len(test_set)}")
+        test_loaders.append(test_loader)
+
+    model = build_model(opt)
+
+    for test_loader in test_loaders:
+        test_set_name = test_loader.dataset.opt['name']
+        logger.info(f'Testing {test_set_name}...')
+        model.validation(test_loader, current_iter=opt['name'],
+                         tb_logger=None,
+                         save_img=opt['val'].get('save_img', True)
+                         if opt.get('val') else True)
+    return model
+
+
+if __name__ == '__main__':
+    root_path = osp.abspath(osp.join(__file__, osp.pardir, osp.pardir))
+    test_pipeline(root_path)

@@ -1,0 +1,134 @@
+"""MultiRef/Ref restoration model integration: full 3-net forward + train
+step on tiny shapes."""
+import numpy as np
+import pytest
+
+from mrefsr_tpu.models import build_model
+
+
+def make_opt(multi=True, gan=False):
+    opt = {
+        'name': 'test_mref',
+        'model_type': ('MultiRefRestorationModel' if multi
+                       else 'RefRestorationModel'),
+        'scale': 4,
+        'crop_border': 4,
+        'num_gpu': 1,
+        'manual_seed': 10,
+        'is_train': True,
+        'dist': False,
+        'rank': 0,
+        'world_size': 1,
+        'network_g': {
+            'type': ('MRAPARestorationNet' if multi else 'RestorationNet'),
+            'ngf': 8, 'n_blocks': 1, 'groups': 2,
+        },
+        'network_map': {
+            'type': 'CorrespondenceGenerationArch',
+            'patch_size': 3, 'stride': 1,
+            'vgg_layer_list': ['relu1_1', 'relu2_1', 'relu3_1'],
+            'vgg_type': 'vgg19',
+        },
+        'network_extractor': {
+            'type': ('ContrasMultiExtractorSep' if multi
+                     else 'ContrasExtractorSep'),
+        },
+        'path': {},
+        'train': {
+            'lr_g': 1e-4, 'lr_offset': 1e-4, 'lr_relu3_offset': 1e-6,
+            'lr_relu2_offset': 1e-5, 'weight_decay_g': 0,
+            'beta_g': [0.9, 0.999], 'lr_d': 1e-4, 'weight_decay_d': 0,
+            'beta_d': [0.9, 0.999],
+            'scheduler': {'type': 'MultiStepLR',
+                          'milestones': [300000, 400000], 'gamma': 0.5},
+            'total_iter': 10, 'warmup_iter': -1,
+            'net_g_pretrain_steps': 2 if gan else 0,
+            'pixel_criterion': 'L1Loss', 'pixel_weight': 1.0,
+        },
+        'val': {'val_freq': 5, 'save_img': False},
+    }
+    if gan:
+        opt['network_d'] = {'type': 'ImageDiscriminator', 'in_nc': 3,
+                            'ndf': 4}
+        opt['train']['gan_type'] = 'wgan'
+        opt['train']['gan_weight'] = 1e-5
+        opt['train']['grad_penalty_weight'] = 10.0
+    return opt
+
+
+def make_batch(rng, b=2, t=5, gt=32):
+    lq = gt // 4
+    return {
+        'img_in': rng.rand(b, gt, gt, 3).astype(np.float32),
+        'img_in_lq': rng.rand(b, lq, lq, 3).astype(np.float32),
+        'img_in_up': rng.rand(b, gt, gt, 3).astype(np.float32),
+        'img_ref_list': rng.rand(b, t, gt, gt, 3).astype(np.float32),
+    }
+
+
+def test_multi_ref_model_pixel_training():
+    opt = make_opt(multi=True)
+    model = build_model(opt)
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng)
+
+    model.feed_data(batch)
+    model.optimize_parameters(1)
+    assert 'l_pix' in model.log_dict
+    assert np.isfinite(model.log_dict['l_pix'])
+    l1 = model.log_dict['l_pix']
+
+    # params actually move: loss changes across repeated steps on the
+    # same batch
+    for i in range(2, 5):
+        model.feed_data(batch)
+        model.optimize_parameters(i)
+    assert model.log_dict['l_pix'] != l1
+
+    model.test()
+    assert np.asarray(model.output).shape == (2, 32, 32, 3)
+
+    # 4 optimizer groups exist (offset lr routing)
+    labels = set()
+
+    def walk(node):
+        if isinstance(node, dict):
+            for v in node.values():
+                walk(v)
+        else:
+            labels.add(node)
+
+    import jax
+    label_tree = model.tx_g  # labels checked indirectly via log lrs
+    assert len(model.base_lrs) == 4
+
+
+def test_single_ref_model_pixel_training():
+    opt = make_opt(multi=False)
+    model = build_model(opt)
+    rng = np.random.RandomState(1)
+    batch = make_batch(rng, t=1)
+    batch['img_ref'] = batch.pop('img_ref_list')[:, 0]
+
+    model.feed_data(batch)
+    model.optimize_parameters(1)
+    assert np.isfinite(model.log_dict['l_pix'])
+    model.test()
+    assert np.asarray(model.output).shape == (2, 32, 32, 3)
+
+
+@pytest.mark.slow
+def test_multi_ref_model_gan_phase():
+    opt = make_opt(multi=True, gan=True)
+    model = build_model(opt)
+    rng = np.random.RandomState(2)
+    batch = make_batch(rng, b=2, t=2)
+
+    model.feed_data(batch)
+    model.optimize_parameters(1)  # pretrain phase (pixel only)
+    assert 'l_pix' in model.log_dict
+    model.feed_data(batch)
+    model.optimize_parameters(3)  # gan phase
+    assert 'l_d_real' in model.log_dict
+    assert np.isfinite(model.log_dict['l_d_real'])
+    assert 'l_g_gan' in model.log_dict
