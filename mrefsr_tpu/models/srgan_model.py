@@ -1,0 +1,249 @@
+"""SRGAN training strategy, functional TPU form.
+
+Rebuild of reference basicsr/models/srgan_model.py:12-149: alternating
+generator/discriminator Adam updates with pixel + perceptual + GAN
+losses. Both updates live in ONE jitted step; the generator update is
+gated with lax.cond on the net_d_iters schedule. Discriminator BatchNorm
+state (batch_stats) threads through the step.
+"""
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mrefsr_tpu.archs import build_network
+from mrefsr_tpu.losses import build_loss
+from mrefsr_tpu.parallel import batch_sharding, replicate
+from mrefsr_tpu.utils import get_root_logger
+from mrefsr_tpu.utils.registry import MODEL_REGISTRY
+
+from .sr_model import SRModel
+
+
+@MODEL_REGISTRY.register()
+class SRGANModel(SRModel):
+    """SRGAN model for single image super-resolution."""
+
+    _relativistic = False
+
+    def init_training_settings(self):
+        train_opt = self.opt['train']
+        logger = get_root_logger()
+
+        self.ema_decay = train_opt.get('ema_decay', 0)
+        if self.ema_decay > 0:
+            logger.info('Use Exponential Moving Average with decay: '
+                        f'{self.ema_decay}')
+
+        self.net_d = build_network(self.opt['network_d'])
+        self.vars_d = None
+        self.opt_state_d = None
+
+        self.cri_pix = build_loss(train_opt['pixel_opt']) \
+            if train_opt.get('pixel_opt') else None
+        self.cri_perceptual = build_loss(train_opt['perceptual_opt']) \
+            if train_opt.get('perceptual_opt') else None
+        self.cri_gan = build_loss(train_opt['gan_opt'])
+        self.vgg_variables = None
+        if self.cri_perceptual is not None:
+            self.vgg_variables = self._load_vgg_variables(
+                self.cri_perceptual.vgg)
+
+        self.net_d_iters = train_opt.get('net_d_iters', 1)
+        self.net_d_init_iters = train_opt.get('net_d_init_iters', 0)
+
+        self.setup_schedulers()
+        self.setup_optimizers()
+
+    def setup_optimizers(self):
+        train_opt = self.opt['train']
+        og = dict(train_opt['optim_g'])
+        self.base_lrs = [og['lr']]
+        self.tx = self.build_optimizer(og.pop('type'), og.pop('lr'),
+                                       self.schedule_fn, **og)
+        od = dict(train_opt['optim_d'])
+        self.tx_d = self.build_optimizer(od.pop('type'), od.pop('lr'),
+                                         self.schedule_fn, **od)
+
+    def _ensure_initialized(self, example_lq):
+        first = self.variables is None
+        super()._ensure_initialized(example_lq)
+        if first and self.is_train and self.vars_d is None:
+            rng = jax.random.PRNGKey(
+                (self.opt.get('manual_seed') or 0) + 1)
+            h = example_lq.shape[1] * self.opt['scale']
+            w = example_lq.shape[2] * self.opt['scale']
+            gt_example = jnp.zeros((1, h, w, 3), jnp.float32)
+            self.vars_d = self.net_d.init(rng, gt_example)
+            load_path = self.opt['path'].get('pretrain_network_d')
+            if load_path:
+                loaded = self.load_network(
+                    load_path,
+                    strict=self.opt['path'].get('strict_load_d', True),
+                    param_key=self.opt['path'].get('param_key_d',
+                                                   'params'))
+                self.vars_d = self._merge_loaded(self.vars_d, loaded)
+            self.vars_d = replicate(self.vars_d, self.mesh)
+            self.opt_state_d = self.tx_d.init(self.vars_d['params'])
+
+    def _apply_d(self, vars_d, x, train=True):
+        """Discriminator apply threading batch_stats when present."""
+        if 'batch_stats' in vars_d and train:
+            out, updates = self.net_d.apply(
+                vars_d, x, mutable=['batch_stats'])
+            return out, dict(vars_d, **updates)
+        out = self.net_d.apply(vars_d, x)
+        return out, vars_d
+
+    def _build_train_step(self):
+        cri_pix = self.cri_pix
+        cri_perceptual = self.cri_perceptual
+        cri_gan = self.cri_gan
+        net_g_apply = self.net_g.apply
+        tx, tx_d = self.tx, self.tx_d
+        ema_decay = self.ema_decay
+        relativistic = self._relativistic
+        apply_d = self._apply_d
+
+        def step(vars_g, opt_g, ema, vars_d, opt_d, vgg_variables, lq, gt,
+                 g_turn, step_idx):
+            losses = OrderedDict()
+            output = net_g_apply({'params': vars_g['params']}, lq)
+
+            # ---- generator (reference srgan_model.py:95-127 /
+            # esrgan relativistic :13-48), gated on g_turn
+            def g_loss_fn(params_g):
+                out = net_g_apply({'params': params_g}, lq)
+                total = 0.
+                aux = {}
+                if cri_pix is not None:
+                    l_g_pix = cri_pix(out, gt)
+                    total += l_g_pix
+                    aux['l_g_pix'] = l_g_pix
+                if cri_perceptual is not None:
+                    l_p, l_s = cri_perceptual(out, gt, vgg_variables)
+                    if l_p is not None:
+                        total += l_p
+                        aux['l_g_percep'] = l_p
+                    if l_s is not None:
+                        total += l_s
+                        aux['l_g_style'] = l_s
+                fake_g_pred, _ = apply_d(vars_d, out, train=False)
+                if relativistic:
+                    real_d_pred, _ = apply_d(vars_d, gt, train=False)
+                    real_d_pred = jax.lax.stop_gradient(real_d_pred)
+                    l_g_real = cri_gan(
+                        real_d_pred - fake_g_pred.mean(), False,
+                        is_disc=False)
+                    l_g_fake = cri_gan(
+                        fake_g_pred - real_d_pred.mean(), True,
+                        is_disc=False)
+                    l_g_gan = (l_g_real + l_g_fake) / 2
+                else:
+                    l_g_gan = cri_gan(fake_g_pred, True, is_disc=False)
+                total += l_g_gan
+                aux['l_g_gan'] = l_g_gan
+                return total, aux
+
+            def do_g(_):
+                (_, aux), grads = jax.value_and_grad(
+                    g_loss_fn, has_aux=True)(vars_g['params'])
+                updates, new_opt = tx.update(grads, opt_g,
+                                             vars_g['params'])
+                return optax.apply_updates(vars_g['params'],
+                                           updates), new_opt, aux
+
+            def skip_g(_):
+                aux = {'l_g_gan': jnp.zeros(())}
+                if cri_pix is not None:
+                    aux['l_g_pix'] = jnp.zeros(())
+                if cri_perceptual is not None:
+                    aux['l_g_percep'] = jnp.zeros(())
+                    aux['l_g_style'] = jnp.zeros(())
+                return vars_g['params'], opt_g, aux
+
+            params_g, opt_g, g_aux = jax.lax.cond(g_turn, do_g, skip_g,
+                                                  None)
+            vars_g = dict(vars_g, params=params_g)
+            losses.update(g_aux)
+            output = net_g_apply({'params': params_g}, lq)
+            output_sg = jax.lax.stop_gradient(output)
+
+            # ---- discriminator (reference srgan_model.py:129-146)
+            def d_loss_fn(params_d):
+                dv = dict(vars_d, params=params_d)
+                real_pred, dv = apply_d(dv, gt)
+                fake_pred, dv = apply_d(dv, output_sg)
+                if relativistic:
+                    l_d_real = cri_gan(
+                        real_pred - jax.lax.stop_gradient(
+                            fake_pred).mean(), True, is_disc=True) * 0.5
+                    l_d_fake = cri_gan(
+                        fake_pred - jax.lax.stop_gradient(
+                            real_pred).mean(), False, is_disc=True) * 0.5
+                else:
+                    l_d_real = cri_gan(real_pred, True, is_disc=True)
+                    l_d_fake = cri_gan(fake_pred, False, is_disc=True)
+                aux = {'l_d_real': l_d_real, 'l_d_fake': l_d_fake,
+                       'out_d_real': real_pred.mean(),
+                       'out_d_fake': fake_pred.mean(),
+                       '_new_vars_d': dv}
+                return l_d_real + l_d_fake, aux
+
+            (_, d_aux), grads_d = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(vars_d['params'])
+            new_vars_d = d_aux.pop('_new_vars_d')
+            updates_d, opt_d = tx_d.update(grads_d, opt_d,
+                                           vars_d['params'])
+            params_d = optax.apply_updates(vars_d['params'], updates_d)
+            new_vars_d = dict(new_vars_d, params=params_d)
+            losses.update(d_aux)
+
+            if ema_decay > 0:
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e * ema_decay + p * (1 - ema_decay),
+                    ema, vars_g)
+            return vars_g, opt_g, ema, new_vars_d, opt_d, losses
+
+        return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4))
+
+    def optimize_parameters(self, current_iter):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        sharding = batch_sharding(self.mesh)
+        lq = jax.device_put(self.lq, sharding)
+        gt = jax.device_put(self.gt, sharding)
+        g_turn = (current_iter % self.net_d_iters == 0
+                  and current_iter > self.net_d_init_iters)
+        ema = self.ema_variables if self.ema_decay > 0 else None
+        (self.variables, self.opt_state, self.ema_variables, self.vars_d,
+         self.opt_state_d, losses) = self._train_step(
+            self.variables, self.opt_state, ema, self.vars_d,
+            self.opt_state_d, self.vgg_variables, lq, gt, g_turn,
+            current_iter - 1)
+        self.log_dict = self.reduce_loss_dict(losses)
+
+    def save(self, epoch, current_iter):
+        if self.ema_decay > 0 and self.ema_variables is not None:
+            self.save_network([self.variables, self.ema_variables],
+                              'net_g', current_iter,
+                              param_key=['params', 'params_ema'])
+        else:
+            self.save_network(self.variables, 'net_g', current_iter)
+        self.save_network(self.vars_d, 'net_d', current_iter)
+        trees = {'opt_state_g': self.opt_state,
+                 'opt_state_d': self.opt_state_d}
+        self.save_training_state(epoch, current_iter, trees)
+
+    def _restore_trees(self):
+        from flax import serialization
+        if 'opt_state_g' in self._resume_trees:
+            self.opt_state = serialization.from_bytes(
+                self.opt_state, self._resume_trees['opt_state_g'])
+        if 'opt_state_d' in self._resume_trees and \
+                self.opt_state_d is not None:
+            self.opt_state_d = serialization.from_bytes(
+                self.opt_state_d, self._resume_trees['opt_state_d'])
+        self._resume_trees = None

@@ -1,0 +1,73 @@
+"""SRGAN / ESRGAN / SwinIR model integration on tiny shapes."""
+import numpy as np
+import pytest
+
+from mrefsr_tpu.models import build_model
+
+
+def make_opt(model_type='SRGANModel'):
+    return {
+        'name': 'test_gan', 'model_type': model_type, 'scale': 4,
+        'num_gpu': 1, 'manual_seed': 0, 'is_train': True, 'dist': False,
+        'rank': 0, 'world_size': 1,
+        'network_g': {'type': 'MSRResNet', 'num_in_ch': 3,
+                      'num_out_ch': 3, 'num_feat': 4, 'num_block': 1,
+                      'upscale': 4},
+        'network_d': {'type': 'UNetDiscriminatorSN', 'num_in_ch': 3,
+                      'num_feat': 4},
+        'path': {},
+        'train': {
+            'ema_decay': 0.999,
+            'optim_g': {'type': 'Adam', 'lr': 1e-4,
+                        'betas': [0.9, 0.99]},
+            'optim_d': {'type': 'Adam', 'lr': 1e-4,
+                        'betas': [0.9, 0.99]},
+            'scheduler': {'type': 'MultiStepLR', 'milestones': [100],
+                          'gamma': 0.5},
+            'total_iter': 10, 'warmup_iter': -1,
+            'pixel_opt': {'type': 'L1Loss', 'loss_weight': 1.0,
+                          'reduction': 'mean'},
+            'gan_opt': {'type': 'GANLoss', 'gan_type': 'vanilla',
+                        'real_label_val': 1.0, 'fake_label_val': 0.0,
+                        'loss_weight': 0.1},
+            'net_d_iters': 1, 'net_d_init_iters': 0,
+        },
+        'val': {'val_freq': 100, 'save_img': False,
+                'metrics': {'psnr': {'type': 'calculate_psnr',
+                                     'crop_border': 4}}},
+    }
+
+
+@pytest.mark.parametrize('model_type', ['SRGANModel', 'ESRGANModel'])
+def test_gan_model_step(model_type):
+    opt = make_opt(model_type)
+    model = build_model(opt)
+    rng = np.random.RandomState(0)
+    batch = {
+        'lq': rng.rand(2, 8, 8, 3).astype(np.float32),
+        'gt': rng.rand(2, 32, 32, 3).astype(np.float32),
+    }
+    model.feed_data(batch)
+    model.optimize_parameters(1)
+    for key in ('l_g_pix', 'l_g_gan', 'l_d_real', 'l_d_fake'):
+        assert key in model.log_dict, key
+        assert np.isfinite(model.log_dict[key]), key
+    model.test()
+    assert np.asarray(model.output).shape == (2, 32, 32, 3)
+
+
+def test_swinir_model_padded_test():
+    opt = make_opt('SwinIRModel')
+    opt['network_g'] = {'type': 'SwinIR', 'img_size': 16, 'embed_dim': 8,
+                        'depths': [2], 'num_heads': [2], 'window_size': 4,
+                        'mlp_ratio': 2.0, 'upscale': 4,
+                        'upsampler': 'pixelshuffledirect'}
+    opt['is_train'] = False
+    opt.pop('network_d')
+    opt['train'].pop('gan_opt')
+    model = build_model(opt)
+    # 10x14 is not a multiple of window 4 -> reflect pad then crop
+    lq = np.random.RandomState(0).rand(1, 10, 14, 3).astype(np.float32)
+    model.feed_data({'lq': lq})
+    model.test()
+    assert np.asarray(model.output).shape == (1, 40, 56, 3)
