@@ -69,6 +69,48 @@ class ResidualBlockNoBN(nn.Module):
         return identity + out * self.res_scale
 
 
+class DCNv2Pack(nn.Module):
+    """Modulated deformable conv whose offsets/masks come from a separate
+    feature tensor (reference arch_util.py:291-318 / basicsr ops
+    ModulatedDeformConvPack). Params: conv_offset child + kernel/bias.
+
+    Call: (x, feat) with both NHWC.
+    """
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    groups: int = 1
+    deformable_groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, feat):
+        from mrefsr_tpu.ops import (modulated_deform_conv2d,
+                                    offset_mask_from_conv_out)
+        k = self.kernel_size
+        dg = self.deformable_groups
+        out = nn.Conv(dg * 3 * k * k, (k, k),
+                      strides=(self.stride, self.stride),
+                      padding=self.padding,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      name='conv_offset')(feat)
+        offset, mask = offset_mask_from_conv_out(out, dg, (k, k))
+        mask = jax.nn.sigmoid(mask)
+        weight = self.param(
+            'kernel',
+            nn.initializers.variance_scaling(1 / 3, 'fan_in', 'uniform'),
+            (k, k, self.in_channels // self.groups, self.out_channels))
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.out_channels,))
+        return modulated_deform_conv2d(
+            x, offset, mask, weight, bias, stride=self.stride,
+            padding=self.padding, dilation=self.dilation,
+            groups=self.groups, deform_groups=dg)
+
+
 def run_blocks(x, block_cls, num_blocks, prefix, *args, **kwargs):
     """Apply ``num_blocks`` identical blocks named '<prefix>.<i>' — the
     flax analogue of make_layer + nn.Sequential

@@ -97,9 +97,12 @@ def _split_key(key):
     Sequential indices into their parent: ``body.0.conv1.weight`` ->
     ``['body.0', 'conv1', 'weight']`` (our flax modules name list children
     ``parent.i``)."""
+    import re
     out = []
     for part in key.split('.'):
-        if part.isdigit() and out:
+        # numeric Sequential indices and the pyramid-level ModuleDict keys
+        # ('l1'..'l3', used by EDVR's PCDAlignment) merge into the parent
+        if out and (part.isdigit() or re.fullmatch(r'l[0-9]', part)):
             out[-1] = f'{out[-1]}.{part}'
         else:
             out.append(part)

@@ -262,7 +262,7 @@ class MultiRefRestorationModel(BaseModel):
         return SRModel._merge_loaded(self, init_vars, loaded_vars)
 
     # ---------------------------------------------------------- forward fns
-    def _run_map(self, d1, d2, refs):
+    def _run_map(self, d1, d2, refs, vars_map=None):
         """Correspondence generation with the T refs folded into batch.
 
         d1: (B,h,w,C); d2: (B,T,h,w,C); refs: (B,T,H,W,3).
@@ -275,7 +275,7 @@ class MultiRefRestorationModel(BaseModel):
         d2_flat = d2.reshape((b * t,) + d2.shape[2:])
         refs_flat = refs.reshape((b * t,) + refs.shape[2:])
         pre_offset, img_ref_feat = self.net_map.apply(
-            self.vars_map,
+            self.vars_map if vars_map is None else vars_map,
             {'dense_features1': d1_flat, 'dense_features2': d2_flat},
             refs_flat)
         unflat = lambda v: v.reshape((b, t) + v.shape[1:])  # noqa: E731
@@ -283,22 +283,28 @@ class MultiRefRestorationModel(BaseModel):
         img_ref_feat = {k: unflat(v) for k, v in img_ref_feat.items()}
         return pre_offset, img_ref_feat
 
-    def _forward(self, params_g, match_img_in, refs, lq):
-        feats = self.net_extractor.apply(self.vars_extractor, match_img_in,
-                                         refs)
+    def _forward(self, params_g, vars_ex, vars_map, match_img_in, refs,
+                 lq):
+        """Full 3-net forward. Frozen-tower variables are explicit args so
+        jit treats them as inputs, not baked-in constants (a closure
+        capture makes XLA constant-fold ~30M VGG params — pathological
+        compile times)."""
+        feats = self.net_extractor.apply(vars_ex, match_img_in, refs)
         pre_offset, img_ref_feat = self._run_map(
-            feats['dense_features1'], feats['dense_features2'], refs)
-        return self.net_g.apply(
-            dict(self.vars_g, params=params_g), lq, pre_offset,
-            img_ref_feat)
+            feats['dense_features1'], feats['dense_features2'], refs,
+            vars_map)
+        return self.net_g.apply({'params': params_g}, lq, pre_offset,
+                                img_ref_feat)
 
     def _build_train_step_pix(self):
         cri_pix = self.cri_pix
         tx = self.tx_g
 
-        def step(vars_g, opt_state, match_img_in, refs, lq, gt, step_idx):
+        def step(vars_g, opt_state, vars_ex, vars_map, match_img_in, refs,
+                 lq, gt, step_idx):
             def loss_fn(params):
-                output = self._forward(params, match_img_in, refs, lq)
+                output = self._forward(params, vars_ex, vars_map,
+                                       match_img_in, refs, lq)
                 return cri_pix(output, gt)
 
             l_pix, grads = jax.value_and_grad(loss_fn)(vars_g['params'])
@@ -311,8 +317,9 @@ class MultiRefRestorationModel(BaseModel):
         return jax.jit(step, donate_argnums=(0, 1))
 
     def _build_eval_step(self):
-        def step(vars_g, match_img_in, refs, lq):
-            return self._forward(vars_g['params'], match_img_in, refs, lq)
+        def step(vars_g, vars_ex, vars_map, match_img_in, refs, lq):
+            return self._forward(vars_g['params'], vars_ex, vars_map,
+                                 match_img_in, refs, lq)
 
         return jax.jit(step)
 
@@ -340,8 +347,8 @@ class MultiRefRestorationModel(BaseModel):
             if self._train_step_pix is None:
                 self._train_step_pix = self._build_train_step_pix()
             self.vars_g, self.opt_state_g, losses = self._train_step_pix(
-                self.vars_g, self.opt_state_g, match_img_in, refs, lq, gt,
-                step - 1)
+                self.vars_g, self.opt_state_g, self.vars_extractor,
+                self.vars_map, match_img_in, refs, lq, gt, step - 1)
             self.log_dict = self.reduce_loss_dict(losses)
         else:
             self._optimize_gan(step, match_img_in, refs, lq, gt)
@@ -356,10 +363,10 @@ class MultiRefRestorationModel(BaseModel):
         cri_perceptual = self.cri_perceptual
         cri_style = self.cri_style
 
-        def step(vars_g, vars_d, opt_g, opt_d, match_img_in, refs, lq, gt,
-                 rng, g_turn):
-            output = self._forward(vars_g['params'], match_img_in, refs,
-                                   lq)
+        def step(vars_g, vars_d, opt_g, opt_d, vars_ex, vars_map,
+                 match_img_in, refs, lq, gt, rng, g_turn):
+            output = self._forward(vars_g['params'], vars_ex, vars_map,
+                                   match_img_in, refs, lq)
             output_sg = jax.lax.stop_gradient(output)
             losses = {}
 
@@ -391,7 +398,8 @@ class MultiRefRestorationModel(BaseModel):
 
             # ---- generator update (reference :244-279), gated on g_turn
             def g_loss_fn(params_g):
-                out = self._forward(params_g, match_img_in, refs, lq)
+                out = self._forward(params_g, vars_ex, vars_map,
+                                    match_img_in, refs, lq)
                 total = 0.
                 aux = {}
                 if cri_pix is not None:
@@ -448,13 +456,15 @@ class MultiRefRestorationModel(BaseModel):
         (self.vars_g, self.vars_d, self.opt_state_g, self.opt_state_d,
          losses) = self._train_step_gan(
             self.vars_g, self.vars_d, self.opt_state_g, self.opt_state_d,
+            self.vars_extractor, self.vars_map,
             match_img_in, refs, lq, gt, rng, g_turn)
         self.log_dict = self.reduce_loss_dict(losses)
 
     def test(self):
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
-        self.output = self._eval_step(self.vars_g,
+        self.output = self._eval_step(self.vars_g, self.vars_extractor,
+                                      self.vars_map,
                                       jnp.asarray(self.match_img_in),
                                       jnp.asarray(self.img_ref_list),
                                       jnp.asarray(self.img_in_lq))

@@ -34,19 +34,19 @@ class RefRestorationModel(MultiRefRestorationModel):
             'img_in': self.gt,
         })
 
-    def _forward(self, params_g, match_img_in, refs, lq):
+    def _forward(self, params_g, vars_ex, vars_map, match_img_in, refs,
+                 lq):
         # extractor is the single-ref ContrasExtractorSep: takes one ref
-        feats = self.net_extractor.apply(self.vars_extractor, match_img_in,
+        feats = self.net_extractor.apply(vars_ex, match_img_in,
                                          refs[:, 0])
         d2 = feats['dense_features2'][:, None]  # re-stack as T=1
         pre_offset, img_ref_feat = self._run_map(
-            feats['dense_features1'], d2, refs)
+            feats['dense_features1'], d2, refs, vars_map)
         # RestorationNet consumes un-stacked (B,...) dicts
         pre_offset = {k: v[:, 0] for k, v in pre_offset.items()}
         img_ref_feat = {k: v[:, 0] for k, v in img_ref_feat.items()}
-        return self.net_g.apply(
-            dict(self.vars_g, params=params_g), lq, pre_offset,
-            img_ref_feat)
+        return self.net_g.apply({'params': params_g}, lq, pre_offset,
+                                img_ref_feat)
 
     def _ensure_initialized(self, batch):
         if self.vars_g is not None:

@@ -51,9 +51,12 @@ def _stub_basicsr():
     sys.modules['basicsr.utils.registry'] = registry
 
     # stub CUDA ops + torchvision for arch_util import
+    # working pure-torch DCN so DCN-using reference archs run on CPU
+    from torch_dcn_stub import (ModulatedDeformConvPackStub,
+                                torch_modulated_deform_conv2d)
     dcn_stub = types.ModuleType('basicsr.ops.dcn')
-    dcn_stub.ModulatedDeformConvPack = object
-    dcn_stub.modulated_deform_conv = None
+    dcn_stub.ModulatedDeformConvPack = ModulatedDeformConvPackStub
+    dcn_stub.modulated_deform_conv = torch_modulated_deform_conv2d
     ops_pkg = types.ModuleType('basicsr.ops')
     sys.modules['basicsr.ops'] = ops_pkg
     sys.modules['basicsr.ops.dcn'] = dcn_stub
