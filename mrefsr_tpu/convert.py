@@ -74,7 +74,10 @@ def torch_to_flax(state_dict, rename=None):
         if leaf == 'num_batches_tracked':
             continue
         if leaf == 'weight':
-            if val.ndim == 4:  # conv OIHW -> HWIO
+            if val.ndim == 5:  # conv3d OIDHW -> DHWIO
+                _set(params, path + ['kernel'],
+                     val.transpose(2, 3, 4, 1, 0))
+            elif val.ndim == 4:  # conv OIHW -> HWIO
                 _set(params, path + ['kernel'], val.transpose(2, 3, 1, 0))
             elif val.ndim == 2:  # linear (O,I) -> (I,O)
                 _set(params, path + ['kernel'], val.transpose(1, 0))
@@ -135,7 +138,9 @@ def flax_to_torch(params, batch_stats=None):
         leaf = parts[-1]
         base = '.'.join(parts[:-1])
         if leaf == 'kernel':
-            if val.ndim == 4:
+            if val.ndim == 5:
+                out[f'{base}.weight'] = val.transpose(4, 3, 0, 1, 2)
+            elif val.ndim == 4:
                 out[f'{base}.weight'] = val.transpose(3, 2, 0, 1)
             else:
                 out[f'{base}.weight'] = val.transpose(1, 0)
