@@ -51,3 +51,33 @@ def weighted_loss(loss_func):
 
 
 masked_loss = weighted_loss
+
+
+def get_local_weights(residual, ksize):
+    """Per-pixel local variance of the residual over a ksize window
+    (reference basicsr/losses/loss_util.py:96-118), NHWC (b,h,w,1)."""
+    import jax
+    pad = (ksize - 1) // 2
+    x = jnp.pad(residual, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                mode='reflect')
+    n = ksize * ksize
+    win = (1, ksize, ksize, 1)
+    s1 = jax.lax.reduce_window(x, 0., jax.lax.add, win, (1, 1, 1, 1),
+                               'VALID')
+    s2 = jax.lax.reduce_window(x * x, 0., jax.lax.add, win, (1, 1, 1, 1),
+                               'VALID')
+    # unbiased variance, matching torch.var(unbiased=True)
+    return (s2 - s1 * s1 / n) / (n - 1)
+
+
+def get_refined_artifact_map(img_gt, img_output, img_ema, ksize):
+    """LDL artifact map (reference loss_util.py:121-145), NHWC."""
+    residual_ema = jnp.sum(jnp.abs(img_gt - img_ema), axis=-1,
+                           keepdims=True)
+    residual_sr = jnp.sum(jnp.abs(img_gt - img_output), axis=-1,
+                          keepdims=True)
+    patch_level_weight = jnp.var(
+        residual_sr, axis=(1, 2, 3), keepdims=True, ddof=1)**(1 / 5)
+    pixel_level_weight = get_local_weights(residual_sr, ksize)
+    overall_weight = patch_level_weight * pixel_level_weight
+    return jnp.where(residual_sr < residual_ema, 0., overall_weight)

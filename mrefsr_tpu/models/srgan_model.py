@@ -46,6 +46,8 @@ class SRGANModel(SRModel):
         self.cri_perceptual = build_loss(train_opt['perceptual_opt']) \
             if train_opt.get('perceptual_opt') else None
         self.cri_gan = build_loss(train_opt['gan_opt'])
+        self.cri_ldl = build_loss(train_opt['ldl_opt']) \
+            if train_opt.get('ldl_opt') else None
         self.vgg_variables = None
         if self.cri_perceptual is not None:
             self.vgg_variables = self._load_vgg_variables(
@@ -107,8 +109,11 @@ class SRGANModel(SRModel):
         relativistic = self._relativistic
         apply_d = self._apply_d
 
-        def step(vars_g, opt_g, ema, vars_d, opt_d, vgg_variables, lq, gt,
-                 g_turn, step_idx):
+        cri_ldl = self.cri_ldl
+        # per-loss GT routing for RealESRGAN's USM'd targets (reference
+        # realesrgan_model.py:196-204); plain SRGAN passes gt three times
+        def step(vars_g, opt_g, ema, vars_d, opt_d, vgg_variables, lq,
+                 gt_pix, gt_percep, gt_gan, gt_ldl, g_turn, step_idx):
             losses = OrderedDict()
             output = net_g_apply({'params': vars_g['params']}, lq)
 
@@ -119,11 +124,21 @@ class SRGANModel(SRModel):
                 total = 0.
                 aux = {}
                 if cri_pix is not None:
-                    l_g_pix = cri_pix(out, gt)
+                    l_g_pix = cri_pix(out, gt_pix)
                     total += l_g_pix
                     aux['l_g_pix'] = l_g_pix
+                if cri_ldl is not None:
+                    from mrefsr_tpu.losses.loss_util import \
+                        get_refined_artifact_map
+                    out_ema = net_g_apply({'params': ema['params']}, lq)
+                    pixel_weight = get_refined_artifact_map(
+                        gt_ldl, out, jax.lax.stop_gradient(out_ema), 7)
+                    l_g_ldl = cri_ldl(pixel_weight * out,
+                                      pixel_weight * gt_ldl)
+                    total += l_g_ldl
+                    aux['l_g_ldl'] = l_g_ldl
                 if cri_perceptual is not None:
-                    l_p, l_s = cri_perceptual(out, gt, vgg_variables)
+                    l_p, l_s = cri_perceptual(out, gt_percep, vgg_variables)
                     if l_p is not None:
                         total += l_p
                         aux['l_g_percep'] = l_p
@@ -132,7 +147,7 @@ class SRGANModel(SRModel):
                         aux['l_g_style'] = l_s
                 fake_g_pred, _ = apply_d(vars_d, out, train=False)
                 if relativistic:
-                    real_d_pred, _ = apply_d(vars_d, gt, train=False)
+                    real_d_pred, _ = apply_d(vars_d, gt_gan, train=False)
                     real_d_pred = jax.lax.stop_gradient(real_d_pred)
                     l_g_real = cri_gan(
                         real_d_pred - fake_g_pred.mean(), False,
@@ -147,6 +162,7 @@ class SRGANModel(SRModel):
                 aux['l_g_gan'] = l_g_gan
                 return total, aux
 
+
             def do_g(_):
                 (_, aux), grads = jax.value_and_grad(
                     g_loss_fn, has_aux=True)(vars_g['params'])
@@ -159,6 +175,8 @@ class SRGANModel(SRModel):
                 aux = {'l_g_gan': jnp.zeros(())}
                 if cri_pix is not None:
                     aux['l_g_pix'] = jnp.zeros(())
+                if cri_ldl is not None:
+                    aux['l_g_ldl'] = jnp.zeros(())
                 if cri_perceptual is not None:
                     aux['l_g_percep'] = jnp.zeros(())
                     aux['l_g_style'] = jnp.zeros(())
@@ -174,7 +192,7 @@ class SRGANModel(SRModel):
             # ---- discriminator (reference srgan_model.py:129-146)
             def d_loss_fn(params_d):
                 dv = dict(vars_d, params=params_d)
-                real_pred, dv = apply_d(dv, gt)
+                real_pred, dv = apply_d(dv, gt_gan)
                 fake_pred, dv = apply_d(dv, output_sg)
                 if relativistic:
                     l_d_real = cri_gan(
@@ -221,8 +239,8 @@ class SRGANModel(SRModel):
         (self.variables, self.opt_state, self.ema_variables, self.vars_d,
          self.opt_state_d, losses) = self._train_step(
             self.variables, self.opt_state, ema, self.vars_d,
-            self.opt_state_d, self.vgg_variables, lq, gt, g_turn,
-            current_iter - 1)
+            self.opt_state_d, self.vgg_variables, lq, gt, gt, gt, gt,
+            g_turn, current_iter - 1)
         self.log_dict = self.reduce_loss_dict(losses)
 
     def save(self, epoch, current_iter):

@@ -75,3 +75,65 @@ def pixel_unshuffle(x, scale):
     x = x.reshape(n, oh, r, ow, r, c)
     x = x.transpose(0, 1, 3, 5, 2, 4)  # n, oh, ow, c, r, r
     return x.reshape(n, oh, ow, c * r * r)
+
+
+# ------------------------------------------------------------------ #
+# Separable resize-as-matmul: the TPU-native form of F.interpolate    #
+# with a *traced-data* (not traced-shape) scale factor.               #
+# ------------------------------------------------------------------ #
+# The RealESRGAN degradation pipeline resizes by a random scale each
+# step (reference realesrgan_model.py:89-97,121-128). Dynamic output
+# shapes would force an XLA recompile per scale; instead the host
+# builds small 1-D resampling matrices (torch F.interpolate-parity
+# weights for area/bilinear/bicubic) and the device applies them as two
+# dense matmuls onto a FIXED canvas — one compiled graph for every
+# scale, and the resample rides the MXU.
+
+def _cubic_torch(t):
+    """Torch's cubic convolution kernel, A=-0.75."""
+    import numpy as _np
+    a = -0.75
+    at = _np.abs(t)
+    f = _np.where(
+        at <= 1, ((a + 2) * at - (a + 3)) * at * at + 1,
+        _np.where(at < 2, (((at - 5) * at + 8) * at - 4) * a, 0.))
+    return f
+
+
+def resize_matrix_np(in_size, out_size, mode):
+    """(out_size, in_size) numpy matrix replicating torch
+    F.interpolate(mode=...) along one dimension (align_corners=False).
+
+    area == adaptive average pooling (integer bin boundaries);
+    bilinear/bicubic use half-pixel centers with border clamping.
+    """
+    import numpy as _np
+    m = _np.zeros((out_size, in_size), _np.float32)
+    if mode == 'area':
+        for i in range(out_size):
+            start = (i * in_size) // out_size
+            end = -((-(i + 1) * in_size) // out_size)  # ceil
+            m[i, start:end] = 1.0 / (end - start)
+        return m
+    src = (_np.arange(out_size) + 0.5) * in_size / out_size - 0.5
+    if mode == 'bilinear':
+        i0 = _np.floor(src).astype(_np.int64)
+        w1 = src - i0
+        for i in range(out_size):
+            m[i, _np.clip(i0[i], 0, in_size - 1)] += 1 - w1[i]
+            m[i, _np.clip(i0[i] + 1, 0, in_size - 1)] += w1[i]
+        return m
+    if mode == 'bicubic':
+        i0 = _np.floor(src).astype(_np.int64)
+        for tap in range(-1, 3):
+            w = _cubic_torch(src - (i0 + tap))
+            for i in range(out_size):
+                m[i, _np.clip(i0[i] + tap, 0, in_size - 1)] += w[i]
+        return m
+    raise ValueError(f'Unknown resize mode {mode}')
+
+
+def apply_resize_matrices(x, mat_h, mat_w):
+    """Resize NHWC ``x`` with per-axis matrices: (Ch,H)@(H,W,..)@(W,Cw)."""
+    x = jnp.einsum('oh,bhwc->bowc', mat_h, x)
+    return jnp.einsum('ow,bhwc->bhoc', mat_w, x)

@@ -53,6 +53,10 @@ def yaml_load(f):
     if os.path.isfile(f):
         with open(f, 'r') as fh:
             return yaml.load(fh, Loader=ordered_yaml()[0])
+    if f.endswith(('.yml', '.yaml')) and '\n' not in f:
+        # a path was clearly intended: fail loudly instead of yaml-parsing
+        # the path string into a scalar
+        raise FileNotFoundError(f'Option file not found: {f}')
     return yaml.load(f, Loader=ordered_yaml()[0])
 
 

@@ -53,6 +53,10 @@ class Registry:
         if ret is None:
             ret = self._obj_map.get(name + '_' + suffix)
         if ret is None:
+            # reference-compat: classes the reference registered with its
+            # '_basicsr' suffix keep resolving (registry.py:65-72)
+            ret = self._obj_map.get(name + '_basicsr')
+        if ret is None:
             raise KeyError(
                 f"No object named '{name}' found in '{self._name}' registry! "
                 f'Available: {sorted(self._obj_map)}')
