@@ -105,7 +105,8 @@ def _split_key(key):
     for part in key.split('.'):
         # numeric Sequential indices and the pyramid-level ModuleDict keys
         # ('l1'..'l3', used by EDVR's PCDAlignment) merge into the parent
-        if out and (part.isdigit() or re.fullmatch(r'l[0-9]', part)):
+        if out and (part.isdigit() or re.fullmatch(r'l[0-9]', part)
+                    or re.fullmatch(r'noise[0-9]+', part)):
             out[-1] = f'{out[-1]}.{part}'
         else:
             out.append(part)

@@ -41,6 +41,13 @@ class SRModel(BaseModel):
         self._pretrain_path = self.opt['path'].get('pretrain_network_g')
         self._param_key_g = self.opt['path'].get('param_key_g', 'params')
         self.ema_decay = 0
+        # freeze schedule: until iter `_freeze_until`, zero the grads of
+        # params whose path does NOT satisfy `_freeze_keep(path)` —
+        # functional form of the reference's requires_grad_ phase switches
+        # (edvr_model.py:50-61, video_recurrent_model.py:52-63). With Adam
+        # moments starting at zero, zeroed grads leave params bit-exact.
+        self._freeze_until = 0
+        self._freeze_keep = None
 
         if self.is_train:
             self.init_training_settings()
@@ -164,6 +171,24 @@ class SRModel(BaseModel):
 
         return merge(init_vars, loaded_vars)
 
+    def _freeze_grads(self, grads, step_idx):
+        """Apply the freeze schedule inside a jitted step (trace-safe)."""
+        if not self._freeze_until or self._freeze_keep is None:
+            return grads
+        keep_fn = self._freeze_keep
+        until = self._freeze_until
+        import jax.tree_util as jtu
+
+        def path_str(path):
+            return '.'.join(
+                str(getattr(k, 'key', getattr(k, 'idx', k))) for k in path)
+
+        keep = jtu.tree_map_with_path(
+            lambda path, g: float(bool(keep_fn(path_str(path)))), grads)
+        return jax.tree_util.tree_map(
+            lambda g, k: jnp.where(step_idx < until, g * k, g), grads,
+            keep)
+
     # ----------------------------------------------------------- step fns
     def _build_train_step(self):
         net_apply = self.net_g.apply
@@ -171,6 +196,7 @@ class SRModel(BaseModel):
         cri_perceptual = self.cri_perceptual
         tx = self.tx
         ema_decay = self.ema_decay
+        freeze_grads = self._freeze_grads
 
         def step(variables, opt_state, ema_variables, vgg_variables, lq,
                  gt, step_idx):
@@ -183,7 +209,11 @@ class SRModel(BaseModel):
                     total += l_pix
                     losses['l_pix'] = l_pix
                 if cri_perceptual is not None:
-                    l_percep, l_style = cri_perceptual(output, gt,
+                    # video outputs are (b,t,h,w,c): flatten frames for VGG
+                    flat = (lambda x: x.reshape((-1,) + x.shape[-3:])
+                            if x.ndim == 5 else x)
+                    l_percep, l_style = cri_perceptual(flat(output),
+                                                       flat(gt),
                                                        vgg_variables)
                     if l_percep is not None:
                         total += l_percep
@@ -196,6 +226,7 @@ class SRModel(BaseModel):
             params = variables['params']
             (_, losses), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
+            grads = freeze_grads(grads, step_idx)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             new_vars = dict(variables, params=params)

@@ -75,8 +75,9 @@ class SRGANModel(SRModel):
         if first and self.is_train and self.vars_d is None:
             rng = jax.random.PRNGKey(
                 (self.opt.get('manual_seed') or 0) + 1)
-            h = example_lq.shape[1] * self.opt['scale']
-            w = example_lq.shape[2] * self.opt['scale']
+            # video batches are (b, t, h, w, c)
+            h = example_lq.shape[-3] * self.opt['scale']
+            w = example_lq.shape[-2] * self.opt['scale']
             gt_example = jnp.zeros((1, h, w, 3), jnp.float32)
             self.vars_d = self.net_d.init(rng, gt_example)
             load_path = self.opt['path'].get('pretrain_network_d')
@@ -110,6 +111,11 @@ class SRGANModel(SRModel):
         apply_d = self._apply_d
 
         cri_ldl = self.cri_ldl
+        freeze_grads = self._freeze_grads
+        # video outputs are (b,t,h,w,c): flatten frames for D / VGG
+        # (reference video_recurrent_gan_model.py:132-166)
+        flat = (lambda x: x.reshape((-1,) + x.shape[-3:])
+                if x.ndim == 5 else x)
         # per-loss GT routing for RealESRGAN's USM'd targets (reference
         # realesrgan_model.py:196-204); plain SRGAN passes gt three times
         def step(vars_g, opt_g, ema, vars_d, opt_d, vgg_variables, lq,
@@ -138,16 +144,18 @@ class SRGANModel(SRModel):
                     total += l_g_ldl
                     aux['l_g_ldl'] = l_g_ldl
                 if cri_perceptual is not None:
-                    l_p, l_s = cri_perceptual(out, gt_percep, vgg_variables)
+                    l_p, l_s = cri_perceptual(flat(out), flat(gt_percep),
+                                              vgg_variables)
                     if l_p is not None:
                         total += l_p
                         aux['l_g_percep'] = l_p
                     if l_s is not None:
                         total += l_s
                         aux['l_g_style'] = l_s
-                fake_g_pred, _ = apply_d(vars_d, out, train=False)
+                fake_g_pred, _ = apply_d(vars_d, flat(out), train=False)
                 if relativistic:
-                    real_d_pred, _ = apply_d(vars_d, gt_gan, train=False)
+                    real_d_pred, _ = apply_d(vars_d, flat(gt_gan),
+                                             train=False)
                     real_d_pred = jax.lax.stop_gradient(real_d_pred)
                     l_g_real = cri_gan(
                         real_d_pred - fake_g_pred.mean(), False,
@@ -166,6 +174,7 @@ class SRGANModel(SRModel):
             def do_g(_):
                 (_, aux), grads = jax.value_and_grad(
                     g_loss_fn, has_aux=True)(vars_g['params'])
+                grads = freeze_grads(grads, step_idx)
                 updates, new_opt = tx.update(grads, opt_g,
                                              vars_g['params'])
                 return optax.apply_updates(vars_g['params'],
@@ -192,8 +201,8 @@ class SRGANModel(SRModel):
             # ---- discriminator (reference srgan_model.py:129-146)
             def d_loss_fn(params_d):
                 dv = dict(vars_d, params=params_d)
-                real_pred, dv = apply_d(dv, gt_gan)
-                fake_pred, dv = apply_d(dv, output_sg)
+                real_pred, dv = apply_d(dv, flat(gt_gan))
+                fake_pred, dv = apply_d(dv, flat(output_sg))
                 if relativistic:
                     l_d_real = cri_gan(
                         real_pred - jax.lax.stop_gradient(

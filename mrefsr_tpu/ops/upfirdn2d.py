@@ -33,10 +33,12 @@ def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
     kern = jnp.tile(kern, (1, 1, 1, c))
 
     pad0, pad1 = pad
+    # the CUDA op zero-stuffs to h*up (up-1 zeros also AFTER the last
+    # sample); lhs_dilation gives h*up-(up-1), so extend the trailing pad
     out = lax.conv_general_dilated(
         x, kern,
         window_strides=(down, down),
-        padding=((pad0, pad1), (pad0, pad1)),
+        padding=((pad0, pad1 + up - 1), (pad0, pad1 + up - 1)),
         lhs_dilation=(up, up),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=c)
