@@ -3,11 +3,16 @@
 from copy import deepcopy
 
 from mrefsr_tpu.utils.registry import METRIC_REGISTRY
+from .fid import (calculate_fid, extract_inception_features,
+                  load_patched_inception_v3)
+from .niqe import calculate_niqe
 from .psnr_ssim import (calculate_psnr, calculate_psnr_jax, calculate_ssim,
                         calculate_ssim_jax)
 
 __all__ = ['calculate_psnr', 'calculate_ssim', 'calculate_psnr_jax',
-           'calculate_ssim_jax', 'calculate_metric']
+           'calculate_ssim_jax', 'calculate_metric', 'calculate_niqe',
+           'calculate_fid', 'extract_inception_features',
+           'load_patched_inception_v3']
 
 
 def calculate_metric(data, opt):
