@@ -1,0 +1,118 @@
+"""DFDNet face restoration inference
+(reference inference/inference_dfdnet.py). Face detection/alignment via
+facexlib when installed; otherwise pass pre-computed 68-point landmark
+files (``--landmark_dir`` with one .npy per image).
+"""
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))
+
+import argparse
+import glob
+import os
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mrefsr_tpu.archs.dfdnet_arch import DFDNet, load_dfdnet_dict
+from mrefsr_tpu.convert import load_torch_state_dict, torch_to_flax
+from mrefsr_tpu.utils import imwrite, tensor2img
+
+try:
+    from facexlib.utils.face_restoration_helper import FaceRestoreHelper
+except ImportError:
+    FaceRestoreHelper = None
+
+
+def get_part_location(landmarks):
+    """68-point landmarks -> xyxy boxes for the four parts
+    (reference inference_dfdnet.py:20-48)."""
+    map_left_eye = list(np.hstack((range(17, 22), range(36, 42))))
+    map_right_eye = list(np.hstack((range(22, 27), range(42, 48))))
+    map_nose = list(range(29, 36))
+    map_mouth = list(range(48, 68))
+
+    def part_box(points, part_size):
+        mean = np.mean(points, axis=0)
+        half_len = np.max((np.max(np.max(points, axis=0)
+                                  - np.min(points, axis=0)) / 2,
+                           part_size / 2))
+        box = np.hstack((mean - half_len + 1,
+                         mean + half_len)).astype(int)
+        return box[None]
+
+    return [
+        part_box(landmarks[map_left_eye], 80),
+        part_box(landmarks[map_right_eye], 80),
+        part_box(landmarks[map_nose], 50),
+        part_box(landmarks[map_mouth], 110),
+    ]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--upscale_factor', type=int, default=2)
+    parser.add_argument(
+        '--model_path', type=str,
+        default='experiments/pretrained_models/DFDNet/'
+                'DFDNet_official-d1fa5650.pth')
+    parser.add_argument(
+        '--dict_path', type=str,
+        default='experiments/pretrained_models/DFDNet/'
+                'DFDNet_dict_512-f79685f0.pth')
+    parser.add_argument('--test_path', type=str,
+                        default='datasets/TestWhole')
+    parser.add_argument('--landmark_dir', type=str, default=None,
+                        help='folder of per-image 68x2 landmark .npy '
+                             'files (used when facexlib is absent)')
+    parser.add_argument('--save_path', type=str, default='results/DFDNet')
+    args = parser.parse_args()
+
+    model = DFDNet(num_feat=64)
+    sd = load_torch_state_dict(args.model_path, param_key='params')
+    variables = jax.tree_util.tree_map(jnp.asarray, torch_to_flax(sd))
+    face_dict = load_dfdnet_dict(args.dict_path)
+
+    os.makedirs(args.save_path, exist_ok=True)
+    for path in sorted(glob.glob(os.path.join(args.test_path, '*'))):
+        img_name = os.path.splitext(os.path.basename(path))[0]
+        print('Processing', img_name)
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        img = cv2.resize(img, (512, 512),
+                         interpolation=cv2.INTER_LINEAR)
+
+        if args.landmark_dir is not None:
+            landmarks = np.load(
+                os.path.join(args.landmark_dir, f'{img_name}.npy'))
+        elif FaceRestoreHelper is not None:
+            helper = FaceRestoreHelper(args.upscale_factor,
+                                       face_size=512)
+            helper.clean_all()
+            helper.read_image(img)
+            helper.get_face_landmarks_5()
+            helper.align_warp_face()
+            landmarks = helper.all_landmarks_68[0] \
+                if getattr(helper, 'all_landmarks_68', None) else None
+            if landmarks is None:
+                print('  no landmarks found, skip')
+                continue
+        else:
+            raise RuntimeError(
+                'facexlib is not installed; pass --landmark_dir with '
+                'precomputed 68-point landmarks')
+
+        part_locations = get_part_location(np.asarray(landmarks))
+        x = jnp.asarray(
+            (img[:, :, ::-1].astype(np.float32) / 255.)[None] * 2 - 1)
+        out = model.apply(variables, x, part_locations, face_dict)
+        out = tensor2img(out, min_max=(-1, 1))
+        imwrite(out, os.path.join(args.save_path,
+                                  f'{img_name}_DFDNet.png'))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,136 @@
+"""DFDNet building blocks, flax/NHWC
+(reference basicsr/archs/dfdnet_util.py).
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hifacegan_util import SNConv
+
+
+def blur(x):
+    """Fixed 3x3 binomial blur, depthwise (reference dfdnet_util.py:8-55;
+    the custom autograd Function there only swaps the kernel flip in the
+    backward — with a symmetric kernel jax.grad matches it for free)."""
+    kernel = jnp.asarray([[1, 2, 1], [2, 4, 2], [1, 2, 1]],
+                         jnp.float32)
+    kernel = kernel / kernel.sum()
+    c = x.shape[-1]
+    kern = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=c)
+
+
+def calc_mean_std(feat, eps=1e-5):
+    """Per-sample channel stats (reference dfdnet_util.py:57-72), NHWC."""
+    mean = feat.mean(axis=(1, 2), keepdims=True)
+    var = feat.var(axis=(1, 2), ddof=1, keepdims=True) + eps
+    return mean, jnp.sqrt(var)
+
+
+def adaptive_instance_normalization(content_feat, style_feat):
+    """AdaIN: re-style reference features (reference :75-89)."""
+    style_mean, style_std = calc_mean_std(style_feat)
+    content_mean, content_std = calc_mean_std(content_feat)
+    normalized = (content_feat - content_mean) / content_std
+    return normalized * style_std + style_mean
+
+
+class AttentionBlock(nn.Module):
+    """SNConv-lrelu-SNConv (reference dfdnet_util.py:92-95). Children
+    named 0/2 like the torch Sequential."""
+    channels: int
+    prefix: str = ''
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.prefix
+        x = SNConv(self.channels, (3, 3), padding=1, name=f'{p}0')(x)
+        x = jax.nn.leaky_relu(x, 0.2)
+        return SNConv(self.channels, (3, 3), padding=1, name=f'{p}2')(x)
+
+
+class MSDilationBlock(nn.Module):
+    """Multi-scale dilation block (reference dfdnet_util.py:122-146)."""
+    in_channels: int
+    kernel_size: int = 3
+    dilation: tuple = (1, 1, 1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        k = self.kernel_size
+        for i in range(4):
+            d = self.dilation[i]
+            pad = ((k - 1) // 2) * d
+            y = SNConv(self.in_channels, (k, k), padding=pad,
+                       name=f'conv_blocks.{i}.0')(x) \
+                if d == 1 else self._dilated(x, d, pad,
+                                             f'conv_blocks.{i}.0')
+            y = jax.nn.leaky_relu(y, 0.2)
+            y = SNConv(self.in_channels, (k, k), padding=pad,
+                       name=f'conv_blocks.{i}.2')(y) \
+                if d == 1 else self._dilated(y, d, pad,
+                                             f'conv_blocks.{i}.2')
+            outs.append(y)
+        out = jnp.concatenate(outs, axis=-1)
+        out = SNConv(self.in_channels, (k, k), padding=(k - 1) // 2,
+                     name='conv_fusion')(out)
+        return out + x
+
+    def _dilated(self, x, dilation, pad, name):
+        return _SNConvDilated(self.in_channels, self.kernel_size, dilation,
+                              pad, name=name)(x)
+
+
+class _SNConvDilated(nn.Module):
+    """Spectral-normalized dilated conv (kernel_dilation support for
+    MSDilationBlock)."""
+    features: int
+    kernel_size: int
+    dilation: int
+    padding: int
+
+    @nn.compact
+    def __call__(self, x):
+        from .hifacegan_util import _l2norm
+        k = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (k, k, cin, self.features))
+        w_mat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(
+            self.features, -1)
+        u = self.variable('spectral', 'u',
+                          lambda: _l2norm(jax.random.normal(
+                              jax.random.PRNGKey(0), (self.features,))))
+        v = self.variable('spectral', 'v',
+                          lambda: _l2norm(jax.random.normal(
+                              jax.random.PRNGKey(1), (w_mat.shape[1],))))
+        if self.is_mutable_collection('spectral'):
+            v_new = _l2norm(w_mat.T @ u.value)
+            u_new = _l2norm(w_mat @ v_new)
+            u.value = jax.lax.stop_gradient(u_new)
+            v.value = jax.lax.stop_gradient(v_new)
+        sigma = u.value @ (w_mat @ v.value)
+        out = jax.lax.conv_general_dilated(
+            x, kernel / sigma, window_strides=(1, 1),
+            padding=[(self.padding, self.padding)] * 2,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return out + self.param('bias', nn.initializers.zeros,
+                                (self.features,))
+
+
+class UpResBlock(nn.Module):
+    """(reference dfdnet_util.py:149-161)"""
+    in_channel: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.in_channel, (3, 3), padding=1, name='body.0')(x)
+        y = jax.nn.leaky_relu(y, 0.2)
+        y = nn.Conv(self.in_channel, (3, 3), padding=1, name='body.2')(y)
+        return x + y

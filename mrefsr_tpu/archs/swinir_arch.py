@@ -386,3 +386,12 @@ class SwinIR(nn.Module):
                               name='conv_last')(res)
 
         return out / self.img_range + mean
+
+
+def swinir_rename(key):
+    """torch->flax key adapter for SwinIR .pth files: drop the
+    relative_position_index / attn_mask buffers (recomputed here)."""
+    if key.endswith('relative_position_index') or \
+            key.endswith('attn_mask'):
+        return None
+    return key

@@ -51,6 +51,7 @@ def torch_to_flax(state_dict, rename=None):
     """
     params = {}
     batch_stats = {}
+    spectral = {}
     # modules owning running stats are norm layers: their 1-D 'weight' maps
     # to flax's 'scale'
     norm_modules = {k.rsplit('.', 1)[0] for k in state_dict
@@ -73,6 +74,16 @@ def torch_to_flax(state_dict, rename=None):
             continue
         if leaf == 'num_batches_tracked':
             continue
+        # torch spectral_norm buffers: weight_orig is the raw kernel,
+        # u/v are the power-iteration state (collection 'spectral')
+        if leaf == 'weight_orig':
+            leaf = 'weight'
+        elif leaf == 'weight_u':
+            _set(spectral, path + ['u'], val)
+            continue
+        elif leaf == 'weight_v':
+            _set(spectral, path + ['v'], val)
+            continue
         if leaf == 'weight':
             if val.ndim == 5:  # conv3d OIDHW -> DHWIO
                 _set(params, path + ['kernel'],
@@ -92,6 +103,8 @@ def torch_to_flax(state_dict, rename=None):
     out = {'params': params}
     if batch_stats:
         out['batch_stats'] = batch_stats
+    if spectral:
+        out['spectral'] = spectral
     return out
 
 
@@ -106,7 +119,9 @@ def _split_key(key):
         # numeric Sequential indices and the pyramid-level ModuleDict keys
         # ('l1'..'l3', used by EDVR's PCDAlignment) merge into the parent
         if out and (part.isdigit() or re.fullmatch(r'l[0-9]', part)
-                    or re.fullmatch(r'noise[0-9]+', part)):
+                    or re.fullmatch(r'noise[0-9]+', part)
+                    # BasicVSR++ ModuleDict branches (basicvsrpp_arch.py:72)
+                    or re.fullmatch(r'(backward|forward)_[12]', part)):
             out[-1] = f'{out[-1]}.{part}'
         else:
             out.append(part)
