@@ -1,7 +1,9 @@
 from .color_util import (bgr2ycbcr, rgb2ycbcr, rgb2ycbcr_jax, ycbcr2bgr,
                          ycbcr2rgb)
+from .diffjpeg import DiffJPEG
 from .dist_util import get_dist_info, init_dist, master_only
 from .file_client import FileClient
+from .img_process_util import USMSharp, filter2D, usm_sharp
 from .img_util import (crop_border, imfrombytes, img2tensor, imwrite,
                        tensor2img)
 from .logger import (AvgTimer, MessageLogger, get_env_info, get_root_logger,

@@ -103,6 +103,35 @@ class LmdbBackend(BaseStorageBackend):
         raise NotImplementedError
 
 
+class PackBackend(BaseStorageBackend):
+    """Native mmap packed-shard backend (this framework's TPU-native
+    LMDB replacement; see native/packio.cpp): zero-copy reads from one
+    immutable shard file per dataset. Accepts the same db_paths /
+    client_keys interface as LmdbBackend so datasets can switch with
+    ``io_backend: {type: pack}``."""
+
+    def __init__(self, db_paths, client_keys='default', **kwargs):
+        from mrefsr_tpu.data.packio import PackReader
+        if isinstance(client_keys, str):
+            client_keys = [client_keys]
+        if isinstance(db_paths, str):
+            db_paths = [db_paths]
+        db_paths = [str(v) for v in db_paths]
+        assert len(client_keys) == len(db_paths), (
+            'client_keys and db_paths should have the same length, but '
+            f'received {len(client_keys)} and {len(db_paths)}.')
+        self._client = {key: PackReader(path)
+                        for key, path in zip(client_keys, db_paths)}
+
+    def get(self, filepath, client_key):
+        assert client_key in self._client, (
+            f'client_key {client_key} is not in pack clients.')
+        return self._client[client_key].get(str(filepath))
+
+    def get_text(self, filepath):
+        raise NotImplementedError
+
+
 class FileClient(object):
     """General file client routing to a backend
     (reference file_client.py:132-167)."""
@@ -111,6 +140,7 @@ class FileClient(object):
         'disk': HardDiskBackend,
         'memcached': MemcachedBackend,
         'lmdb': LmdbBackend,
+        'pack': PackBackend,
     }
 
     def __init__(self, backend='disk', **kwargs):
@@ -122,8 +152,8 @@ class FileClient(object):
         self.client = self._backends[backend](**kwargs)
 
     def get(self, filepath, client_key='default'):
-        # client_key is used only in lmdb mode
-        if self.backend == 'lmdb':
+        # client_key is used only in lmdb/pack modes
+        if self.backend in ('lmdb', 'pack'):
             return self.client.get(filepath, client_key)
         return self.client.get(filepath)
 
