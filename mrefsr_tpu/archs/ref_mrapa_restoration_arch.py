@@ -186,11 +186,17 @@ def _scale_stage(x, pre_offset, ref_feat, nf, ref_nf, n_blocks, groups,
                          name=f'{p}_offset_conv2')(off))
     ref_flat = ref_feat.reshape((b * t,) + ref_feat.shape[2:])
     pre_flat = pre_offset.reshape((b * t,) + pre_offset.shape[2:])
-    swapped = _lrelu(DynAgg(ref_nf, ref_nf, 3, deform_groups=groups,
-                            name=f'{p}_dyn_agg')(ref_flat, off, pre_flat))
+    # remat: recompute alignment/fusion internals in the backward pass —
+    # together with the tap-scanned DCN this keeps the stage3 train step
+    # within one chip's HBM at the reference batch sizes
+    dyn_agg_cls = nn.remat(DynAgg)
+    fusion_cls = nn.remat(MRAPAFusion)
+    swapped = _lrelu(dyn_agg_cls(ref_nf, ref_nf, 3, deform_groups=groups,
+                                 name=f'{p}_dyn_agg')(ref_flat, off,
+                                                      pre_flat))
     swapped = swapped.reshape((b, t) + swapped.shape[1:])
 
-    h = MRAPAFusion(nf=nf, ref_nf=ref_nf, name=f'head_{p}')(x, swapped)
+    h = fusion_cls(nf=nf, ref_nf=ref_nf, name=f'head_{p}')(x, swapped)
     h = run_blocks(h, ResidualBlockNoBN, n_blocks, f'body_{p}',
                    num_feat=nf) + x
 

@@ -31,7 +31,7 @@ def _scale_stage(x, pre_offset, ref_feat, nf, ref_nf, n_blocks, groups,
                          name=f'{p}_offset_conv1')(off))
     off = _lrelu(nn.Conv(ref_nf, (3, 3), padding=1, kernel_init=init,
                          name=f'{p}_offset_conv2')(off))
-    swapped = _lrelu(DynAgg(ref_nf, ref_nf, 3, deform_groups=groups,
+    swapped = _lrelu(nn.remat(DynAgg)(ref_nf, ref_nf, 3, deform_groups=groups,
                             name=f'{p}_dyn_agg')(ref_feat, off, pre_offset))
 
     h = jnp.concatenate([x, swapped], axis=-1)

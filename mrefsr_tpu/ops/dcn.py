@@ -52,52 +52,71 @@ def modulated_deform_conv2d(x, offset, mask, weight, bias=None, stride=1,
     assert mask.shape == (n, ho, wo, dg, k)
     assert c % dg == 0 and c % groups == 0 and cin_g == c // groups
 
-    # base sampling grid: (Ho, Wo, K)
-    oy = jnp.arange(ho) * sh - ph
-    ox = jnp.arange(wo) * sw - pw
+    # base sampling grid per tap: (K,) tap coordinates + (Ho,Wo) grid
+    oy = jnp.arange(ho) * sh - ph  # (Ho,)
+    ox = jnp.arange(wo) * sw - pw  # (Wo,)
     ky, kx = jnp.meshgrid(jnp.arange(kh) * dh, jnp.arange(kw) * dw,
                           indexing='ij')
-    base_y = oy[:, None, None] + ky.reshape(-1)[None, None, :]  # (Ho,Wo,K)
-    base_x = ox[None, :, None] + kx.reshape(-1)[None, None, :]
+    ky = ky.reshape(-1).astype(offset.dtype)  # (K,)
+    kx = kx.reshape(-1).astype(offset.dtype)
 
-    fy = base_y[None, :, :, None, :] + offset[..., 0]  # (N,Ho,Wo,dg,K)
-    fx = base_x[None, :, :, None, :] + offset[..., 1]
+    # Scan over the K kernel taps, accumulating each tap's (gather x
+    # weight-slice) matmul. This never materializes the full
+    # (N,Ho,Wo,K,C) deformable-im2col tensor — at MRAPA's relu1_1 scale
+    # that tensor alone is GBs and made the train step un-compilable on
+    # one chip. The checkpointed scan body also keeps the BACKWARD
+    # footprint at one tap (gathers are recomputed per tap instead of
+    # saved for all 9). The scan consumes the offset/mask arrays
+    # directly (tap axis leading) — no (N,Ho,Wo,dg,K) fy/fx copies.
+    offset_t = jnp.moveaxis(offset, -2, 0)  # (K,N,Ho,Wo,dg,2)
+    mask_t = jnp.moveaxis(mask, -1, 0)      # (K,N,Ho,Wo,dg)
+    w_t = weight.reshape(k, cin_g, cout)
+    cg = c // dg
 
-    sampled = _deform_gather(x, fy, fx, dg)  # (N,Ho,Wo,dg,K,C//dg)
-    sampled = sampled * mask[..., None]
-    # back to channel order: (dg, C//dg) -> C
-    sampled = sampled.transpose(0, 1, 2, 4, 3, 5).reshape(n, ho, wo, k, c)
+    def tap(acc, inp):
+        off_k, m_k, w_k, ky_k, kx_k = inp
+        fy_k = oy[None, :, None, None] + ky_k + off_k[..., 0]
+        fx_k = ox[None, None, :, None] + kx_k + off_k[..., 1]
+        sampled = _deform_gather_tap(x, fy_k, fx_k, dg)  # (N,Ho,Wo,dg,cg)
+        sampled = sampled * m_k[..., None]
+        sampled = sampled.reshape(n, ho, wo, c)
+        if groups == 1:
+            acc = acc + jnp.einsum(
+                'nhwc,co->nhwo', sampled, w_k,
+                preferred_element_type=jnp.float32)
+        else:
+            sg = sampled.reshape(n, ho, wo, groups, c // groups)
+            wg = w_k.reshape(cin_g, groups, cout // groups)
+            acc = acc + jnp.einsum(
+                'nhwgc,cgo->nhwgo', sg, wg,
+                preferred_element_type=jnp.float32).reshape(
+                    n, ho, wo, cout)
+        return acc, None
 
-    if groups == 1:
-        out = jnp.einsum('nhwkc,kco->nhwo',
-                         sampled, weight.reshape(k, c, cout),
-                         preferred_element_type=jnp.float32,
-                         optimize=True).astype(x.dtype)
-    else:
-        cg = c // groups
-        og = cout // groups
-        s = sampled.reshape(n, ho, wo, k, groups, cg)
-        wg = weight.reshape(kh * kw, cg, groups, og)
-        out = jnp.einsum('nhwkgc,kcgo->nhwgo', s, wg,
-                         preferred_element_type=jnp.float32,
-                         optimize=True).reshape(n, ho, wo, cout)
-        out = out.astype(x.dtype)
+    acc0 = jnp.zeros((n, ho, wo, cout), jnp.float32)
+    out, _ = jax.lax.scan(jax.checkpoint(tap), acc0,
+                          (offset_t, mask_t, w_t, ky, kx))
+    out = out.astype(x.dtype)
 
     if bias is not None:
         out = out + bias
     return out
 
 
-def _deform_gather(x, fy, fx, dg):
-    """Bilinear gather of per-deform-group channels at float coords.
+def _deform_gather_tap(x, fy, fx, dg):
+    """Bilinear gather of per-deform-group channels at float coords for
+    ONE kernel tap.
 
-    x: (N,H,W,C); fy/fx: (N,Ho,Wo,dg,K).
-    Returns (N,Ho,Wo,dg,K,C//dg). Zero outside [-1, dim] boundary like the
+    x: (N,H,W,C); fy/fx: (N,Ho,Wo,dg).
+    Returns (N,Ho,Wo,dg,C//dg). Zero outside [-1, dim] boundary like the
     CUDA kernel (corners outside contribute 0).
     """
     n, h, w, c = x.shape
     cg = c // dg
-    xg = x.reshape(n, h, w, dg, cg)
+    # flat row-take layout: row id = ((b*H + y)*W + x)*dg + g. On TPU a
+    # 1-D row gather lowers ~2x faster than 4-D advanced indexing (the
+    # cost is per gathered row, so fold every index dim into one).
+    xflat = x.reshape(n * h * w * dg, cg)
 
     y0 = jnp.floor(fy)
     x0 = jnp.floor(fx)
@@ -106,13 +125,16 @@ def _deform_gather(x, fy, fx, dg):
     wy0 = 1.0 - wy1
     wx0 = 1.0 - wx1
 
-    bidx = jnp.arange(n).reshape(n, 1, 1, 1, 1)
-    gidx = jnp.arange(dg).reshape(1, 1, 1, dg, 1)
+    out_shape = fy.shape + (cg,)
+    bidx = jnp.arange(n).reshape(n, 1, 1, 1)
+    gidx = jnp.arange(dg).reshape(1, 1, 1, dg)
 
     def corner(yi, xi):
         yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        vals = xg[bidx, yc, xc, gidx]  # (N,Ho,Wo,dg,K,cg)
+        rows = ((bidx * h + yc) * w + xc) * dg + gidx
+        vals = jnp.take(xflat, rows.reshape(-1),
+                        axis=0).reshape(out_shape)
         valid = ((yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1))
         return vals * valid[..., None].astype(x.dtype)
 
