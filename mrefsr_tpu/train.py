@@ -171,6 +171,8 @@ def train_pipeline(root_path, args=None):
     logger.info(f'Start training from epoch: {start_epoch}, '
                 f'iter: {current_iter}')
     data_timer, iter_timer = AvgTimer(), AvgTimer()
+    from mrefsr_tpu.utils.profiler import StepProfiler
+    profiler = StepProfiler(opt)
     start_time = time.time()
 
     epoch = start_epoch
@@ -188,8 +190,10 @@ def train_pipeline(root_path, args=None):
             model.update_learning_rate(
                 current_iter,
                 warmup_iter=opt['train'].get('warmup_iter', -1))
+            profiler.maybe_start(current_iter)
             model.feed_data(train_data)
             model.optimize_parameters(current_iter)
+            profiler.maybe_stop(current_iter)
             iter_timer.record()
             if current_iter == 1:
                 msg_logger.reset_start_time()
