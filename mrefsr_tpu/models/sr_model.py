@@ -67,6 +67,9 @@ class SRModel(BaseModel):
             if train_opt.get('perceptual_opt') else None
         if self.cri_pix is None and self.cri_perceptual is None:
             raise ValueError('Both pixel and perceptual losses are None.')
+        # opt-in bf16 compute: forward runs with bf16 params/activations
+        # (MXU native rate), loss + grads + optimizer state stay f32
+        self.mixed_precision = train_opt.get('mixed_precision')
         self.vgg_variables = None
         if self.cri_perceptual is not None:
             self.vgg_variables = self._load_vgg_variables(
@@ -197,11 +200,23 @@ class SRModel(BaseModel):
         tx = self.tx
         ema_decay = self.ema_decay
         freeze_grads = self._freeze_grads
+        mp = getattr(self, 'mixed_precision', None)
+
+        def cast_fwd(params, lq):
+            if mp != 'bfloat16':
+                return params, lq
+            bf = jnp.bfloat16
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(bf) if p.dtype == jnp.float32 else p,
+                params)
+            return params, lq.astype(bf)
 
         def step(variables, opt_state, ema_variables, vgg_variables, lq,
                  gt, step_idx):
             def loss_fn(params):
-                output = net_apply({'params': params}, lq)
+                params_c, lq_c = cast_fwd(params, lq)
+                output = net_apply({'params': params_c},
+                                   lq_c).astype(jnp.float32)
                 losses = OrderedDict()
                 total = 0.
                 if cri_pix is not None:

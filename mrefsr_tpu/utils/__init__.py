@@ -64,6 +64,8 @@ class ProgressBar:
 __all__ = [
     # color_util
     'bgr2ycbcr', 'rgb2ycbcr', 'rgb2ycbcr_jax', 'ycbcr2bgr', 'ycbcr2rgb',
+    # diffjpeg / img_process_util
+    'DiffJPEG', 'USMSharp', 'filter2D', 'usm_sharp',
     # dist_util
     'get_dist_info', 'init_dist', 'master_only',
     # file_client
