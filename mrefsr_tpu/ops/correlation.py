@@ -135,3 +135,38 @@ def tensor_shift(x, shift=(2, 2), fill_val=0.):
     x = jnp.pad(x, ((sh, 0), (sw, 0), (0, 0)),
                 constant_values=fill_val)
     return x[:h, :w]
+
+
+def feature_match_index_sharded(feat_input, feat_ref_shard, axis_name,
+                                patch_size=3, input_stride=1, ref_stride=1,
+                                is_norm=True, norm_input=False, chunk=2048):
+    """Reference-patch-sharded top-1 matching for images that outgrow one
+    chip — the spatial analog of sequence parallelism (SURVEY §5: shard
+    the ref-patch axis across ICI and combine with a collective max).
+
+    Call inside shard_map with ``feat_ref_shard`` split along H over the
+    mesh axis: each device matches against its local row band, then the
+    global best fuses with pmax (ties resolve to the lowest global patch
+    index, matching single-device argmax).
+
+    feat_ref_shard must carry ``ref_base``: pass a tuple
+    (shard (Hs, W, C), row_offset int) where row_offset is the shard's
+    first row in the full ref image.
+    """
+    shard, row_offset = feat_ref_shard
+    local_idx, local_val = feature_match_index(
+        feat_input, shard, patch_size=patch_size,
+        input_stride=input_stride, ref_stride=ref_stride, is_norm=is_norm,
+        norm_input=norm_input, chunk=chunk)
+    # local patch grid -> global row-major index over the FULL ref grid
+    hs, w, _ = shard.shape
+    pw_local = (w - patch_size) // ref_stride + 1
+    local_rows = local_idx // pw_local
+    local_cols = local_idx % pw_local
+    global_idx = (local_rows + row_offset) * pw_local + local_cols
+
+    global_val = jax.lax.pmax(local_val, axis_name)
+    big = jnp.iinfo(jnp.int32).max
+    cand = jnp.where(local_val >= global_val, global_idx, big)
+    global_idx = jax.lax.pmin(cand, axis_name)
+    return global_idx, global_val
