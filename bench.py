@@ -59,6 +59,7 @@ def main():
             'total_iter': 100, 'warmup_iter': -1,
             'net_g_pretrain_steps': 0,
             'pixel_criterion': 'L1Loss', 'pixel_weight': 1.0,
+            'mixed_precision': os.environ.get('BENCH_MP', 'bfloat16') or None,
         },
     }
     model = build_model(opt)

@@ -299,13 +299,33 @@ class MultiRefRestorationModel(BaseModel):
     def _build_train_step_pix(self):
         cri_pix = self.cri_pix
         tx = self.tx_g
+        # opt-in bf16 compute (train: mixed_precision: bfloat16): frozen
+        # towers, matching, and net_g forward run in bf16 (the DCN gather
+        # rows halve); loss/grads/optimizer stay f32. pre_offset flows are
+        # integer-valued and exact in bf16 at these resolutions.
+        mp = self.opt['train'].get('mixed_precision')
+
+        def cast_tree(tree, dtype):
+            return jax.tree_util.tree_map(
+                lambda v: v.astype(dtype)
+                if v.dtype == jnp.float32 else v, tree)
 
         def step(vars_g, opt_state, vars_ex, vars_map, match_img_in, refs,
                  lq, gt, step_idx):
+            if mp == 'bfloat16':
+                bf = jnp.bfloat16
+                vars_ex = cast_tree(vars_ex, bf)
+                vars_map = cast_tree(vars_map, bf)
+                match_img_in = match_img_in.astype(bf)
+                refs = refs.astype(bf)
+                lq = lq.astype(bf)
+
             def loss_fn(params):
+                if mp == 'bfloat16':
+                    params = cast_tree(params, jnp.bfloat16)
                 output = self._forward(params, vars_ex, vars_map,
                                        match_img_in, refs, lq)
-                return cri_pix(output, gt)
+                return cri_pix(output.astype(jnp.float32), gt)
 
             l_pix, grads = jax.value_and_grad(loss_fn)(vars_g['params'])
             updates, opt_state = tx.update(grads, opt_state,
