@@ -83,7 +83,7 @@ class DegradationSynthesizer:
         self.jpeger = DiffJPEG(differentiable=False)
         self.usm = USMSharp()
         self._jit_synth = jax.jit(
-            self._synth, static_argnames=('gt_hw', 'c1', 'c2', 'gt_size'))
+            self._synth, static_argnames=('gt_hw', 'c1', 'c2'))
 
     # ------------------------------------------------------------ host RNG
     def _draw_resize(self, prob, rng_range):
@@ -140,13 +140,12 @@ class DegradationSynthesizer:
             jnp.int32(h1), jnp.int32(w1), jnp.int32(h2), jnp.int32(w2),
             jnp.asarray(noise1_gaussian), jnp.asarray(second_blur),
             jnp.asarray(noise2_gaussian), jnp.asarray(resize_first),
-            gt_hw=(H, W), c1=(c1h, c1w), c2=(c2h, c2w),
-            gt_size=None)
+            gt_hw=(H, W), c1=(c1h, c1w), c2=(c2h, c2w))
 
     # ------------------------------------------------------------ device
     def _synth(self, key, gt, kernel1, kernel2, sinc_kernel, a1h, a1w, a2h,
                a2w, a3h, a3w, h1, w1, h2, w2, noise1_gaussian, second_blur,
-               noise2_gaussian, resize_first, gt_hw, c1, c2, gt_size):
+               noise2_gaussian, resize_first, gt_hw, c1, c2):
         opt = self.opt
         H, W = gt_hw
         lqh, lqw = H // self.scale, W // self.scale

@@ -18,22 +18,25 @@ from .video_base_model import VideoBaseModel
 
 def _flow_multi_transform(model, lr_key='flow_lr_mul'):
     """optax.multi_transform giving 'spynet' params a scaled LR
-    (reference video_recurrent_model.py:22-50)."""
+    (reference video_recurrent_model.py:22-50). The GAN variant's
+    absolute ``lr_flow`` (video_recurrent_gan_model.py:80-83) is also
+    honored when present."""
     import optax
     train_opt = model.opt['train']
     flow_lr_mul = train_opt.get(lr_key, 1)
-    get_root_logger().info(
-        f'Multiple the learning rate for flow network with {flow_lr_mul}.')
     optim_opt = dict(train_opt['optim_g'])
     optim_type = optim_opt.pop('type')
     base_lr = optim_opt.pop('lr')
-    model.base_lrs = [base_lr, base_lr * flow_lr_mul]
-    if flow_lr_mul == 1:
+    flow_lr = train_opt.get('lr_flow', base_lr * flow_lr_mul)
+    get_root_logger().info(
+        f'Flow network learning rate: {flow_lr}.')
+    model.base_lrs = [base_lr, flow_lr]
+    if flow_lr == base_lr:
         return model.build_optimizer(optim_type, base_lr,
                                      model.schedule_fn, **optim_opt)
     normal = model.build_optimizer(optim_type, base_lr, model.schedule_fn,
                                    **optim_opt)
-    flow = model.build_optimizer(optim_type, base_lr * flow_lr_mul,
+    flow = model.build_optimizer(optim_type, flow_lr,
                                  model.schedule_fn, **optim_opt)
 
     def label_fn(params):
