@@ -99,6 +99,14 @@ class DCNv2Pack(nn.Module):
                       name='conv_offset')(feat)
         offset, mask = offset_mask_from_conv_out(out, dg, (k, k))
         mask = jax.nn.sigmoid(mask)
+        # training-health warning when offsets explode (reference
+        # arch_util.py:308-311); debug.print is jit-safe and async
+        offset_absmean = jnp.abs(offset).mean()
+        jax.lax.cond(
+            offset_absmean > 50,
+            lambda m: jax.debug.print(
+                'Offset abs mean is {m}, larger than 50.', m=m),
+            lambda m: None, offset_absmean)
         weight = self.param(
             'kernel',
             nn.initializers.variance_scaling(1 / 3, 'fan_in', 'uniform'),

@@ -62,6 +62,14 @@ class DynAgg(nn.Module):
                       name='conv_offset_mask')(feat)
         offset, mask = offset_mask_from_conv_out(out, dg, (k, k))
         mask = jax.nn.sigmoid(mask)
+        # learned-residual health warning (reference :70-73 — which
+        # references an undefined `logger`; fixed here, jit-safe)
+        residual_absmean = jnp.abs(offset).mean()
+        jax.lax.cond(
+            residual_absmean > 50,
+            lambda m: jax.debug.print(
+                'Offset abs mean is {m}, larger than 50.', m=m),
+            lambda m: None, residual_absmean)
         # seed with the precomputed offsets: broadcast over deform groups,
         # (x, y) -> (dy, dx) (reference :59-66)
         pre = jnp.stack([pre_offset[..., 1], pre_offset[..., 0]],

@@ -287,7 +287,24 @@ class SRModel(BaseModel):
         variables = self.ema_variables if (
             self.ema_decay > 0 and self.ema_variables is not None) \
             else self.variables
-        self.output = self._eval_step(variables, jnp.asarray(self.lq))
+        lq = jnp.asarray(self.lq)
+        # opt-in recompile control for variable-size test sets: reflect-pad
+        # LQ up to a multiple of `val.pad_multiple` (bucketing shapes into
+        # far fewer compiled graphs), crop the output back
+        pad_mult = (self.opt.get('val') or {}).get('pad_multiple', 0)
+        if pad_mult:
+            h, w = lq.shape[1:3]
+            ph = (pad_mult - h % pad_mult) % pad_mult
+            pw = (pad_mult - w % pad_mult) % pad_mult
+            if ph or pw:
+                lq = jnp.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                             mode='reflect')
+        out = self._eval_step(variables, lq)
+        if pad_mult:
+            scale = self.opt['scale']
+            out = out[:, :self.lq.shape[1] * scale,
+                      :self.lq.shape[2] * scale]
+        self.output = out
 
     # ------------------------------------------------------------- visuals
     def get_current_visuals(self):
