@@ -108,8 +108,9 @@ def check_resume(opt, resume_iter):
             basename = network.replace('network_', '')
             if opt['path'].get('ignore_resume_networks') is None or (
                     network not in opt['path']['ignore_resume_networks']):
-                opt['path'][name] = osp.join(opt['path']['models'],
-                                             f'net_{basename}_{resume_iter}')
+                opt['path'][name] = osp.join(
+                    opt['path']['models'],
+                    f'net_{basename}_{resume_iter}.pth')
                 print(f"Set {name} to {opt['path'][name]}", flush=True)
         # param_key follows the EMA convention
         param_keys = [key for key in opt['path'].keys()
