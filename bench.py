@@ -30,7 +30,7 @@ def main():
     import jax
     from mrefsr_tpu.models import build_model
 
-    per_chip_batch = int(os.environ.get('BENCH_BATCH', '3'))
+    per_chip_batch = int(os.environ.get('BENCH_BATCH', '4'))
     gt = int(os.environ.get('BENCH_GT_SIZE', '160'))
     t = 5
     n_devices = jax.local_device_count()

@@ -101,12 +101,16 @@ class DCNv2Pack(nn.Module):
         mask = jax.nn.sigmoid(mask)
         # training-health warning when offsets explode (reference
         # arch_util.py:308-311); debug.print is jit-safe and async
-        offset_absmean = jnp.abs(offset).mean()
-        jax.lax.cond(
-            offset_absmean > 50,
-            lambda m: jax.debug.print(
-                'Offset abs mean is {m}, larger than 50.', m=m),
-            lambda m: None, offset_absmean)
+        import os as _os
+        if _os.environ.get('MREFSR_DEBUG_OFFSETS'):
+            # opt-in: jax.debug.print needs host callbacks, which some
+            # TPU runtimes (e.g. the axon tunnel) do not support
+            offset_absmean = jnp.abs(offset).mean()
+            jax.lax.cond(
+                offset_absmean > 50,
+                lambda m: jax.debug.print(
+                    'Offset abs mean is {m}, larger than 50.', m=m),
+                lambda m: None, offset_absmean)
         weight = self.param(
             'kernel',
             nn.initializers.variance_scaling(1 / 3, 'fan_in', 'uniform'),

@@ -10,11 +10,14 @@ between scales; a bilinear x4 global residual closes the net.
 
 TPU idiom changes vs the reference:
   * refs ride a stacked (B, T, ...) axis; the per-ref python loops
-    (reference :216-253) become one batched conv/DCN call with T folded
-    into batch — 5 refs per kernel launch instead of 5 launches.
+    (reference :216-253) become one ``nn.scan`` over the T axis with
+    params broadcast — a single compiled alignment body reused for
+    every ref, holding only one ref's offset/DCN intermediates live at
+    a time (this is what fits CUFED5's 500x500 padded eval in HBM).
   * the per-pixel 1xT attention (reference MRAPAFusion:313-335, a
     permute/flatten dance) is two einsums + softmax.
 """
+from functools import partial
 from typing import Any
 
 import flax.linen as nn
@@ -64,12 +67,16 @@ class DynAgg(nn.Module):
         mask = jax.nn.sigmoid(mask)
         # learned-residual health warning (reference :70-73 — which
         # references an undefined `logger`; fixed here, jit-safe)
-        residual_absmean = jnp.abs(offset).mean()
-        jax.lax.cond(
-            residual_absmean > 50,
-            lambda m: jax.debug.print(
-                'Offset abs mean is {m}, larger than 50.', m=m),
-            lambda m: None, residual_absmean)
+        import os as _os
+        if _os.environ.get('MREFSR_DEBUG_OFFSETS'):
+            # opt-in: jax.debug.print needs host callbacks, which some
+            # TPU runtimes (e.g. the axon tunnel) do not support
+            residual_absmean = jnp.abs(offset).mean()
+            jax.lax.cond(
+                residual_absmean > 50,
+                lambda m: jax.debug.print(
+                    'Offset abs mean is {m}, larger than 50.', m=m),
+                lambda m: None, residual_absmean)
         # seed with the precomputed offsets: broadcast over deform groups,
         # (x, y) -> (dy, dx) (reference :59-66)
         pre = jnp.stack([pre_offset[..., 1], pre_offset[..., 0]],
@@ -173,37 +180,48 @@ class MRAPAFusion(nn.Module):
         return feat[:, :h_input, :w_input, :]
 
 
-def _scale_stage(x, pre_offset, ref_feat, nf, ref_nf, n_blocks, groups,
-                 prefix):
-    """One decoder scale: per-ref offset convs + DynAgg alignment + fusion
-    + residual body (shared structure of reference :213-257), with T
-    folded into batch for the per-ref convs. Called inside the parent's
-    compact scope so params attach flat, matching the reference's
-    module names."""
+def _align_one_ref(mdl, carry, per_ref, ref_nf, groups, prefix):
+    """Align ONE reference against the target features (the scanned body
+    of a decoder scale). Params attach to ``mdl``'s scope with the same
+    flat names as the reference's modules and are broadcast across the
+    scan, so only one ref's offset/DCN intermediates are ever live — the
+    key to fitting CUFED5's 500x500 padded eval (and the train step) in
+    one chip's HBM."""
     init = srntt_normal_init(0.02)
-    b, t = ref_feat.shape[0], ref_feat.shape[1]
+    x = carry
+    ref_feat_1, pre_offset_1 = per_ref
     p = prefix
-
-    # fold refs into batch: concat target features to each ref
-    x_rep = jnp.broadcast_to(x[:, None], (b, t) + x.shape[1:])
-    offset_in = jnp.concatenate([x_rep, ref_feat], axis=-1)
-    offset_in = offset_in.reshape((b * t,) + offset_in.shape[2:])
+    offset_in = jnp.concatenate([x, ref_feat_1], axis=-1)
     off = _lrelu(nn.Conv(ref_nf, (3, 3), padding=1, kernel_init=init,
                          name=f'{p}_offset_conv1')(offset_in))
     off = _lrelu(nn.Conv(ref_nf, (3, 3), padding=1, kernel_init=init,
                          name=f'{p}_offset_conv2')(off))
-    ref_flat = ref_feat.reshape((b * t,) + ref_feat.shape[2:])
-    pre_flat = pre_offset.reshape((b * t,) + pre_offset.shape[2:])
-    # remat: recompute alignment/fusion internals in the backward pass —
-    # together with the tap-scanned DCN this keeps the stage3 train step
-    # within one chip's HBM at the reference batch sizes
-    dyn_agg_cls = nn.remat(DynAgg)
-    fusion_cls = nn.remat(MRAPAFusion)
-    swapped = _lrelu(dyn_agg_cls(ref_nf, ref_nf, 3, deform_groups=groups,
-                                 name=f'{p}_dyn_agg')(ref_flat, off,
-                                                      pre_flat))
-    swapped = swapped.reshape((b, t) + swapped.shape[1:])
+    # remat: recompute alignment internals in the backward pass
+    swapped = _lrelu(nn.remat(DynAgg)(ref_nf, ref_nf, 3,
+                                      deform_groups=groups,
+                                      name=f'{p}_dyn_agg')(
+        ref_feat_1, off, pre_offset_1))
+    return carry, swapped
 
+
+def _scale_stage(mdl, x, pre_offset, ref_feat, nf, ref_nf, n_blocks,
+                 groups, prefix):
+    """One decoder scale: per-ref alignment scanned over the T refs +
+    fusion + residual body (shared structure of reference :213-257).
+    Called with the owning module so scanned params attach flat,
+    matching the reference's module names."""
+    init = srntt_normal_init(0.02)
+    p = prefix
+
+    align = nn.scan(
+        partial(_align_one_ref, ref_nf=ref_nf, groups=groups, prefix=p),
+        variable_broadcast='params',
+        variable_axes={'intermediates': 1},
+        split_rngs={'params': False},
+        in_axes=1, out_axes=1)
+    _, swapped = align(mdl, x, (ref_feat, pre_offset))  # (B,T,H,W,C)
+
+    fusion_cls = nn.remat(MRAPAFusion)
     h = fusion_cls(nf=nf, ref_nf=ref_nf, name=f'head_{p}')(x, swapped)
     h = run_blocks(h, ResidualBlockNoBN, n_blocks, f'body_{p}',
                    num_feat=nf) + x
@@ -229,13 +247,15 @@ class DynamicAggregationRestoration(nn.Module):
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
-        x = _scale_stage(x, pre_offset['relu3_1'], img_ref_feat['relu3_1'],
-                         self.ngf, 256, self.n_blocks, self.groups, 'small')
-        x = _scale_stage(x, pre_offset['relu2_1'], img_ref_feat['relu2_1'],
-                         self.ngf, 128, self.n_blocks, self.groups,
-                         'medium')
-        x = _scale_stage(x, pre_offset['relu1_1'], img_ref_feat['relu1_1'],
-                         self.ngf, 64, self.n_blocks, self.groups, 'large')
+        x = _scale_stage(self, x, pre_offset['relu3_1'],
+                         img_ref_feat['relu3_1'], self.ngf, 256,
+                         self.n_blocks, self.groups, 'small')
+        x = _scale_stage(self, x, pre_offset['relu2_1'],
+                         img_ref_feat['relu2_1'], self.ngf, 128,
+                         self.n_blocks, self.groups, 'medium')
+        x = _scale_stage(self, x, pre_offset['relu1_1'],
+                         img_ref_feat['relu1_1'], self.ngf, 64,
+                         self.n_blocks, self.groups, 'large')
         return x
 
 
