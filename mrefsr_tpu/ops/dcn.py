@@ -73,11 +73,21 @@ def modulated_deform_conv2d(x, offset, mask, weight, bias=None, stride=1,
     w_t = weight.reshape(k, cin_g, cout)
     cg = c // dg
 
+    # Gather cost on TPU is per ROW, nearly independent of row width, so
+    # pre-pack the four bilinear corners of every (pixel, deform-group)
+    # into ONE row: x4[b, y0+1, x0+1, g] = the 2x2 patch at (y0, x0),
+    # zero-padded at the border. Each sampling point then needs a single
+    # gathered row of width 4*cg instead of four rows of width cg — 4x
+    # fewer rows through the gather unit (measured ~3x faster end to end
+    # on the stage3 DCN shapes).
+    x4 = _pack_bilinear_corners(x, dg)  # (N*(H+1)*(W+1)*dg, 4*cg)
+
     def tap(acc, inp):
         off_k, m_k, w_k, ky_k, kx_k = inp
         fy_k = oy[None, :, None, None] + ky_k + off_k[..., 0]
         fx_k = ox[None, None, :, None] + kx_k + off_k[..., 1]
-        sampled = _deform_gather_tap(x, fy_k, fx_k, dg)  # (N,Ho,Wo,dg,cg)
+        sampled = _deform_gather_tap_packed(
+            x4, (n, h, w, dg, cg), x.dtype, fy_k, fx_k)  # (N,Ho,Wo,dg,cg)
         sampled = sampled * m_k[..., None]
         sampled = sampled.reshape(n, ho, wo, c)
         if groups == 1:
@@ -103,45 +113,65 @@ def modulated_deform_conv2d(x, offset, mask, weight, bias=None, stride=1,
     return out
 
 
-def _deform_gather_tap(x, fy, fx, dg):
-    """Bilinear gather of per-deform-group channels at float coords for
-    ONE kernel tap.
+def _pack_bilinear_corners(x, dg):
+    """Pack the 2x2 bilinear corners of every (pixel, deform group) into
+    one flat row.
 
-    x: (N,H,W,C); fy/fx: (N,Ho,Wo,dg).
-    Returns (N,Ho,Wo,dg,C//dg). Zero outside [-1, dim] boundary like the
-    CUDA kernel (corners outside contribute 0).
+    x: (N,H,W,C). Returns (N*(H+1)*(W+1)*dg, 4*cg) where row
+    (b, yi, xi, g) holds [xp[yi,xi] | xp[yi,xi+1] | xp[yi+1,xi] |
+    xp[yi+1,xi+1]] of group g's channels, with xp = x zero-padded by 1 on
+    every spatial side. Row (y0+1, x0+1) is exactly the 2x2 patch a
+    bilinear sample at floor coords (y0, x0) needs, for y0 in [-1, H-1].
     """
     n, h, w, c = x.shape
     cg = c // dg
-    # flat row-take layout: row id = ((b*H + y)*W + x)*dg + g. On TPU a
-    # 1-D row gather lowers ~2x faster than 4-D advanced indexing (the
-    # cost is per gathered row, so fold every index dim into one).
-    xflat = x.reshape(n * h * w * dg, cg)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = xp.reshape(n, h + 2, w + 2, dg, cg)
+    x4 = jnp.concatenate([
+        xp[:, :h + 1, :w + 1],
+        xp[:, :h + 1, 1:],
+        xp[:, 1:, :w + 1],
+        xp[:, 1:, 1:],
+    ], axis=-1)  # (N, H+1, W+1, dg, 4*cg)
+    return x4.reshape(n * (h + 1) * (w + 1) * dg, 4 * cg)
 
+
+def _deform_gather_tap_packed(x4, dims, dtype, fy, fx):
+    """Bilinear gather at float coords for ONE kernel tap, from
+    corner-packed rows (see _pack_bilinear_corners).
+
+    x4: (N*(H+1)*(W+1)*dg, 4*cg); fy/fx: (N,Ho,Wo,dg).
+    Returns (N,Ho,Wo,dg,cg). Zero outside the [-1, dim] boundary like the
+    CUDA kernel (corners outside contribute 0): validity is judged on the
+    UNclipped corner coords, the row index on clipped ones, so a fully
+    out-of-range sample lands on a real row but is masked to zero.
+    """
+    n, h, w, dg, cg = dims
     y0 = jnp.floor(fy)
     x0 = jnp.floor(fx)
-    wy1 = (fy - y0).astype(x.dtype)
-    wx1 = (fx - x0).astype(x.dtype)
+    wy1 = (fy - y0).astype(dtype)
+    wx1 = (fx - x0).astype(dtype)
     wy0 = 1.0 - wy1
     wx0 = 1.0 - wx1
+    vy0 = ((y0 >= 0) & (y0 <= h - 1)).astype(dtype)
+    vy1 = ((y0 >= -1) & (y0 <= h - 2)).astype(dtype)
+    vx0 = ((x0 >= 0) & (x0 <= w - 1)).astype(dtype)
+    vx1 = ((x0 >= -1) & (x0 <= w - 2)).astype(dtype)
 
-    out_shape = fy.shape + (cg,)
+    yc = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
+    xc = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
     bidx = jnp.arange(n).reshape(n, 1, 1, 1)
     gidx = jnp.arange(dg).reshape(1, 1, 1, dg)
+    rows = ((bidx * (h + 1) + yc) * (w + 1) + xc) * dg + gidx
+    g4 = jnp.take(x4, rows.reshape(-1), axis=0).reshape(
+        fy.shape + (4, cg))
 
-    def corner(yi, xi):
-        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        rows = ((bidx * h + yc) * w + xc) * dg + gidx
-        vals = jnp.take(xflat, rows.reshape(-1),
-                        axis=0).reshape(out_shape)
-        valid = ((yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1))
-        return vals * valid[..., None].astype(x.dtype)
-
-    return (corner(y0, x0) * (wy0 * wx0)[..., None] +
-            corner(y0, x0 + 1) * (wy0 * wx1)[..., None] +
-            corner(y0 + 1, x0) * (wy1 * wx0)[..., None] +
-            corner(y0 + 1, x0 + 1) * (wy1 * wx1)[..., None])
+    wts = jnp.stack([wy0 * wx0 * vy0 * vx0,
+                     wy0 * wx1 * vy0 * vx1,
+                     wy1 * wx0 * vy1 * vx0,
+                     wy1 * wx1 * vy1 * vx1], axis=-1)  # (N,Ho,Wo,dg,4)
+    return jnp.einsum('...kc,...k->...c', g4, wts,
+                      preferred_element_type=dtype)
 
 
 def offset_mask_from_conv_out(out, deform_groups, kernel_size=(3, 3)):

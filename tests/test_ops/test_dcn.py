@@ -104,6 +104,27 @@ def test_vs_naive(dg, groups, stride):
     np.testing.assert_allclose(mine, ref, atol=1e-4)
 
 
+def test_far_out_of_range_offsets_are_zero():
+    """Samples whose whole 2x2 bilinear patch is outside [-1, dim] must
+    contribute exactly zero (the packed-corner gather clips the row index
+    but masks validity on the unclipped coords — this pins that contract)."""
+    n, h, w, c = 1, 6, 7, 4
+    x = RNG.rand(n, h, w, c).astype(np.float32) + 1.0  # strictly positive
+    offset = np.full((n, h, w, 1, 9, 2), 25.0, np.float32)  # way outside
+    offset[0, 2:4] = -25.0  # and the other side
+    mask = np.ones((n, h, w, 1, 9), np.float32)
+    weight = np.ones((3, 3, c, c), np.float32)
+
+    out = np.asarray(modulated_deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), None, stride=1, padding=1, deform_groups=1))
+    np.testing.assert_array_equal(out, np.zeros_like(out))
+
+    # and the naive reference agrees
+    ref = naive_mdcn(x, offset, mask, weight, None, 1, 1, 1, 1, 1)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
 def test_grads_flow():
     """Autodiff produces finite grads for x, offset, mask, weight."""
     x = jnp.asarray(RNG.rand(1, 5, 5, 2).astype(np.float32))
