@@ -98,6 +98,9 @@ def main():
             model.vars_g, model.opt_state_g, model.vars_extractor,
             model.vars_map, match_img_in, refs, lq, gt_dev, i - 1)
     jax.block_until_ready(model.vars_g['params'])
+    # force a D2H of the last step's loss: a real completion barrier even
+    # on runtimes whose block_until_ready returns at dispatch time
+    float(losses['l_pix'])
     elapsed = time.perf_counter() - start
 
     imgs_per_sec = b * n_steps / elapsed

@@ -60,27 +60,117 @@ def modulated_deform_conv2d(x, offset, mask, weight, bias=None, stride=1,
     ky = ky.reshape(-1).astype(offset.dtype)  # (K,)
     kx = kx.reshape(-1).astype(offset.dtype)
 
-    # Scan over the K kernel taps, accumulating each tap's (gather x
-    # weight-slice) matmul. This never materializes the full
-    # (N,Ho,Wo,K,C) deformable-im2col tensor — at MRAPA's relu1_1 scale
-    # that tensor alone is GBs and made the train step un-compilable on
-    # one chip. The checkpointed scan body also keeps the BACKWARD
-    # footprint at one tap (gathers are recomputed per tap instead of
-    # saved for all 9). The scan consumes the offset/mask arrays
-    # directly (tap axis leading) — no (N,Ho,Wo,dg,K) fy/fx copies.
+    cg = c // dg
+    if groups == 1:
+        out = _mdcn_slab_scan(x, offset, mask, weight,
+                              (n, h, w, ho, wo, k, dg, cg, cout),
+                              oy, ox, ky, kx)
+    else:
+        out = _mdcn_tap_scan(x, offset, mask, weight,
+                             (n, h, w, ho, wo, k, dg, cg, cout, groups,
+                              cin_g), oy, ox, ky, kx)
+    out = out.astype(x.dtype)
+
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def _mdcn_slab_scan(x, offset, mask, weight, dims, oy, ox, ky, kx):
+    """DCNv2 forward as nested scans item -> deform-group -> tap, with the
+    gather confined to one (item, group) corner-packed slab at a time.
+
+    TPU row-gather throughput depends on the TABLE operand size: a slab
+    that fits VMEM gathers ~4.6x faster than one big flat table
+    (measured 318 vs 70 Mrow/s at the MRAPA relu1_1 scale — see
+    scripts/benchmarks/bench_gather2.py). The per-(item, group) slab is
+    (H+1)(W+1) x 4*cg, e.g. 1.66 MB at relu1_1 — comfortably VMEM-sized.
+    The tap scan additionally keeps only one tap's intermediates live
+    (im2col never materializes) and its checkpoint keeps the BACKWARD
+    footprint at one tap too.
+    """
+    n, h, w, ho, wo, k, dg, cg, cout = dims
+    x4 = _pack_bilinear_corners(x, dg)  # (N, dg, (H+1)(W+1), 4*cg)
+    # slab-major rearrangement: (N, dg, K, Ho, Wo, ...)
+    off_t = jnp.moveaxis(offset, 3, 1)       # (N, dg, Ho, Wo, K, 2)
+    off_t = jnp.moveaxis(off_t, 4, 2)        # (N, dg, K, Ho, Wo, 2)
+    mask_t = jnp.moveaxis(mask, 3, 1)        # (N, dg, Ho, Wo, K)
+    mask_t = jnp.moveaxis(mask_t, 4, 2)      # (N, dg, K, Ho, Wo)
+    w_g = weight.reshape(k, dg, cg, cout)    # cin == C when groups == 1
+    w_g = jnp.moveaxis(w_g, 1, 0)            # (dg, K, cg, cout)
+    dtype = x.dtype
+
+    def tap(x4_g):
+        def body(acc, tin):
+            off_k, m_k, w_k, ky_k, kx_k = tin
+            fy = oy[:, None] + ky_k + off_k[..., 0]   # (Ho, Wo)
+            fx = ox[None, :] + kx_k + off_k[..., 1]
+            sampled = _slab_bilinear(x4_g, (h, w, cg), dtype, fy, fx)
+            sampled = sampled * m_k[..., None]        # (Ho, Wo, cg)
+            return acc + jnp.einsum(
+                'hwc,co->hwo', sampled, w_k,
+                preferred_element_type=jnp.float32), None
+        return body
+
+    def grp(acc, ginp):
+        x4_g, off_g, m_g, w_gg = ginp
+        acc, _ = jax.lax.scan(jax.checkpoint(tap(x4_g)), acc,
+                              (off_g, m_g, w_gg, ky, kx))
+        return acc, None
+
+    def item(_, inp):
+        x4_i, off_i, m_i = inp
+        acc0 = jnp.zeros((ho, wo, cout), jnp.float32)
+        out_i, _ = jax.lax.scan(grp, acc0, (x4_i, off_i, m_i, w_g))
+        return None, out_i
+
+    _, out = jax.lax.scan(item, None, (x4, off_t, mask_t))
+    return out  # (N, Ho, Wo, cout) f32
+
+
+def _slab_bilinear(x4_g, dims, dtype, fy, fx):
+    """Bilinear sample from ONE (item, group) corner-packed slab.
+
+    x4_g: ((H+1)(W+1), 4*cg); fy/fx: (Ho, Wo). Returns (Ho, Wo, cg).
+    Validity is judged on the UNclipped corner coords, the row index on
+    clipped ones (mmcv zero-outside semantics, cf. _pack_bilinear_corners).
+    """
+    h, w, cg = dims
+    y0 = jnp.floor(fy)
+    x0 = jnp.floor(fx)
+    wy1 = (fy - y0).astype(dtype)
+    wx1 = (fx - x0).astype(dtype)
+    wy0 = 1.0 - wy1
+    wx0 = 1.0 - wx1
+    vy0 = ((y0 >= 0) & (y0 <= h - 1)).astype(dtype)
+    vy1 = ((y0 >= -1) & (y0 <= h - 2)).astype(dtype)
+    vx0 = ((x0 >= 0) & (x0 <= w - 1)).astype(dtype)
+    vx1 = ((x0 >= -1) & (x0 <= w - 2)).astype(dtype)
+
+    yc = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
+    xc = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
+    rows = yc * (w + 1) + xc
+    g4 = jnp.take(x4_g, rows.reshape(-1), axis=0).reshape(
+        fy.shape + (4, cg))
+    wts = jnp.stack([wy0 * wx0 * vy0 * vx0,
+                     wy0 * wx1 * vy0 * vx1,
+                     wy1 * wx0 * vy1 * vx0,
+                     wy1 * wx1 * vy1 * vx1], axis=-1)  # (Ho, Wo, 4)
+    return jnp.einsum('...kc,...k->...c', g4, wts,
+                      preferred_element_type=dtype)
+
+
+def _mdcn_tap_scan(x, offset, mask, weight, dims, oy, ox, ky, kx):
+    """General (conv groups > 1) DCNv2 path: scan over the K kernel taps,
+    accumulating each tap's (gather x weight-slice) matmul, with the
+    2x2 bilinear corners pre-packed into one gathered row per sampling
+    point (4x fewer rows than corner-at-a-time)."""
+    n, h, w, ho, wo, k, dg, cg, cout, groups, cin_g = dims
+    x4 = _pack_bilinear_corners(x, dg).reshape(
+        n * dg * (h + 1) * (w + 1), 4 * cg)
     offset_t = jnp.moveaxis(offset, -2, 0)  # (K,N,Ho,Wo,dg,2)
     mask_t = jnp.moveaxis(mask, -1, 0)      # (K,N,Ho,Wo,dg)
     w_t = weight.reshape(k, cin_g, cout)
-    cg = c // dg
-
-    # Gather cost on TPU is per ROW, nearly independent of row width, so
-    # pre-pack the four bilinear corners of every (pixel, deform-group)
-    # into ONE row: x4[b, y0+1, x0+1, g] = the 2x2 patch at (y0, x0),
-    # zero-padded at the border. Each sampling point then needs a single
-    # gathered row of width 4*cg instead of four rows of width cg — 4x
-    # fewer rows through the gather unit (measured ~3x faster end to end
-    # on the stage3 DCN shapes).
-    x4 = _pack_bilinear_corners(x, dg)  # (N*(H+1)*(W+1)*dg, 4*cg)
 
     def tap(acc, inp):
         off_k, m_k, w_k, ky_k, kx_k = inp
@@ -89,36 +179,26 @@ def modulated_deform_conv2d(x, offset, mask, weight, bias=None, stride=1,
         sampled = _deform_gather_tap_packed(
             x4, (n, h, w, dg, cg), x.dtype, fy_k, fx_k)  # (N,Ho,Wo,dg,cg)
         sampled = sampled * m_k[..., None]
-        sampled = sampled.reshape(n, ho, wo, c)
-        if groups == 1:
-            acc = acc + jnp.einsum(
-                'nhwc,co->nhwo', sampled, w_k,
-                preferred_element_type=jnp.float32)
-        else:
-            sg = sampled.reshape(n, ho, wo, groups, c // groups)
-            wg = w_k.reshape(cin_g, groups, cout // groups)
-            acc = acc + jnp.einsum(
-                'nhwgc,cgo->nhwgo', sg, wg,
-                preferred_element_type=jnp.float32).reshape(
-                    n, ho, wo, cout)
+        sg = sampled.reshape(n, ho, wo, groups, cin_g)
+        wg = w_k.reshape(cin_g, groups, cout // groups)
+        acc = acc + jnp.einsum(
+            'nhwgc,cgo->nhwgo', sg, wg,
+            preferred_element_type=jnp.float32).reshape(
+                n, ho, wo, cout)
         return acc, None
 
     acc0 = jnp.zeros((n, ho, wo, cout), jnp.float32)
     out, _ = jax.lax.scan(jax.checkpoint(tap), acc0,
                           (offset_t, mask_t, w_t, ky, kx))
-    out = out.astype(x.dtype)
-
-    if bias is not None:
-        out = out + bias
     return out
 
 
 def _pack_bilinear_corners(x, dg):
     """Pack the 2x2 bilinear corners of every (pixel, deform group) into
-    one flat row.
+    one flat row, slab-major per (item, group).
 
-    x: (N,H,W,C). Returns (N*(H+1)*(W+1)*dg, 4*cg) where row
-    (b, yi, xi, g) holds [xp[yi,xi] | xp[yi,xi+1] | xp[yi+1,xi] |
+    x: (N,H,W,C). Returns (N, dg, (H+1)*(W+1), 4*cg) where row
+    (b, g, yi*(W+1)+xi) holds [xp[yi,xi] | xp[yi,xi+1] | xp[yi+1,xi] |
     xp[yi+1,xi+1]] of group g's channels, with xp = x zero-padded by 1 on
     every spatial side. Row (y0+1, x0+1) is exactly the 2x2 patch a
     bilinear sample at floor coords (y0, x0) needs, for y0 in [-1, H-1].
@@ -133,14 +213,16 @@ def _pack_bilinear_corners(x, dg):
         xp[:, 1:, :w + 1],
         xp[:, 1:, 1:],
     ], axis=-1)  # (N, H+1, W+1, dg, 4*cg)
-    return x4.reshape(n * (h + 1) * (w + 1) * dg, 4 * cg)
+    x4 = jnp.moveaxis(x4, 3, 1)  # (N, dg, H+1, W+1, 4*cg)
+    return x4.reshape(n, dg, (h + 1) * (w + 1), 4 * cg)
 
 
 def _deform_gather_tap_packed(x4, dims, dtype, fy, fx):
     """Bilinear gather at float coords for ONE kernel tap, from
     corner-packed rows (see _pack_bilinear_corners).
 
-    x4: (N*(H+1)*(W+1)*dg, 4*cg); fy/fx: (N,Ho,Wo,dg).
+    x4: (N*dg*(H+1)*(W+1), 4*cg) slab-major per (item, group);
+    fy/fx: (N,Ho,Wo,dg).
     Returns (N,Ho,Wo,dg,cg). Zero outside the [-1, dim] boundary like the
     CUDA kernel (corners outside contribute 0): validity is judged on the
     UNclipped corner coords, the row index on clipped ones, so a fully
@@ -162,7 +244,7 @@ def _deform_gather_tap_packed(x4, dims, dtype, fy, fx):
     xc = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
     bidx = jnp.arange(n).reshape(n, 1, 1, 1)
     gidx = jnp.arange(dg).reshape(1, 1, 1, dg)
-    rows = ((bidx * (h + 1) + yc) * (w + 1) + xc) * dg + gidx
+    rows = (bidx * dg + gidx) * ((h + 1) * (w + 1)) + yc * (w + 1) + xc
     g4 = jnp.take(x4, rows.reshape(-1), axis=0).reshape(
         fy.shape + (4, cg))
 

@@ -3,42 +3,30 @@
 Shapes mirror DynAgg at the three decoder levels for gt_size=160
 (reference stage3_5ref_restoration_mse.yml): relu3_1 40x40x256,
 relu2_1 80x80x128, relu1_1 160x160x64, deform_groups=8, k=3x3.
+The backward matches training: grads wrt offset/mask/weight only (the
+DCN input is a frozen VGG feature in the MRAPA stack, so no dx scatter).
 
-Usage: python scripts/benchmarks/bench_dcn.py [batch]
+Timing uses the scan-based harness (tpu_timer) — host loops through the
+device tunnel mis-measure.
+
+Usage: PYTHONPATH=/root/.axon_site:. python scripts/benchmarks/bench_dcn.py [batch]
 """
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mrefsr_tpu.ops import modulated_deform_conv2d
+sys.path.insert(0, 'scripts/benchmarks')
+from tpu_timer import dep_carry, scan_time  # noqa: E402
+
+from mrefsr_tpu.ops import modulated_deform_conv2d  # noqa: E402
 
 LEVELS = {
     'relu3_1': (40, 256),
     'relu2_1': (80, 128),
     'relu1_1': (160, 64),
 }
-
-
-def bench(fn, x, *args, iters=20):
-    """Times fn with a data-dependency chain (x perturbed by the previous
-    output) so no run can be elided or memoized by the runtime."""
-    @jax.jit
-    def step(x):
-        out = fn(x, *args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        bump = (leaf.astype(jnp.float32).ravel()[0] * 1e-12).astype(x.dtype)
-        return x + bump, out
-
-    x, out = step(x)
-    jax.block_until_ready((x, out))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x, out = step(x)
-    jax.block_until_ready((x, out))
-    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -52,17 +40,21 @@ def main():
         mask = jnp.asarray(rng.rand(n, hw, hw, dg, k), dtype)
         w = jnp.asarray(rng.randn(3, 3, c, c) * 0.05, dtype)
 
-        fwd = jax.jit(lambda *a: modulated_deform_conv2d(
-            *a, stride=1, padding=1, deform_groups=dg))
+        def fwd(off, x, m, w):
+            out = modulated_deform_conv2d(x, off, m, w, stride=1,
+                                          padding=1, deform_groups=dg)
+            return dep_carry(out, off), out
 
-        def loss(*a):
-            return jnp.sum(modulated_deform_conv2d(
-                *a, stride=1, padding=1, deform_groups=dg)
-                .astype(jnp.float32) ** 2)
-        fwdbwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+        def fwdbwd(off, x, m, w):
+            def loss(off_, m_, w_):
+                o = modulated_deform_conv2d(x, off_, m_, w_, stride=1,
+                                            padding=1, deform_groups=dg)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+            g = jax.grad(loss, argnums=(0, 1, 2))(off, m, w)
+            return dep_carry(g, off), g
 
-        tf = bench(fwd, x, offset, mask, w)
-        tb = bench(fwdbwd, x, offset, mask, w, iters=10)
+        tf = scan_time(fwd, offset, x, mask, w, n=8)
+        tb = scan_time(fwdbwd, offset, x, mask, w, n=8)
         rows = n * hw * hw * dg * k
         print(f'{name}: b={n} {hw}x{hw}x{c} fwd {tf*1e3:7.2f} ms '
               f'({rows/tf/1e6:7.1f} Mrow/s)   fwd+bwd {tb*1e3:7.2f} ms')
