@@ -64,6 +64,8 @@ class MultiRefRestorationModel(BaseModel):
         self.opt_state_d = None
         self._train_step_pix = None
         self._train_step_gan = None
+        self._train_step_wave = None
+        self._wave_len = None
         self._eval_step = None
         self._resume_trees = None
 
@@ -334,6 +336,9 @@ class MultiRefRestorationModel(BaseModel):
             return dict(vars_g, params=params), opt_state, \
                 {'l_pix': l_pix}
 
+        # unjitted step, for callers that fuse multiple steps into one
+        # dispatch (lax.scan over steps — bench.py, wave training)
+        self._train_step_pix_raw = step
         return jax.jit(step, donate_argnums=(0, 1))
 
     def _build_eval_step(self):
@@ -372,6 +377,71 @@ class MultiRefRestorationModel(BaseModel):
             self.log_dict = self.reduce_loss_dict(losses)
         else:
             self._optimize_gan(step, match_img_in, refs, lq, gt)
+
+    def optimize_parameters_wave(self, batches, first_iter):
+        """Run ``len(batches)`` pixel-phase optimizer steps fused into
+        ONE device dispatch: a jitted ``lax.scan`` threads
+        (params, opt state) through the steps. This is the standard TPU
+        multi-step training dispatch — it removes per-step host/dispatch
+        latency entirely (the LR schedules are pure functions of the
+        step index, so each scanned step sees its own LR). Enabled by
+        ``train: steps_per_dispatch: K`` in the options YAML.
+
+        Falls back to per-step ``optimize_parameters`` when the wave
+        would touch the GAN phase (D/G alternation has host-side phase
+        logic).
+        """
+        k = len(batches)
+        if k == 1 or (self.net_d is not None and
+                      first_iter + k - 1 > self.net_g_pretrain_steps):
+            for j, b in enumerate(batches):
+                self.feed_data(b)
+                self.optimize_parameters(first_iter + j)
+            return
+
+        # normalize every batch through feed_data (the single-ref
+        # subclass reshapes its ref there), then stack along a leading
+        # step axis
+        mis, refss, lqs, gts = [], [], [], []
+        for b in batches:
+            self.feed_data(b)  # also lazy param init on the first wave
+            mis.append(self.match_img_in)
+            refss.append(self.img_ref_list)
+            lqs.append(self.img_in_lq)
+            gts.append(self.gt)
+        if self._train_step_pix is None:
+            self._train_step_pix = self._build_train_step_pix()
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, 'data'))
+        mi = jax.device_put(np.stack(mis), sh)
+        refs = jax.device_put(np.stack(refss), sh)
+        lq = jax.device_put(np.stack(lqs), sh)
+        gt = jax.device_put(np.stack(gts), sh)
+
+        if self._train_step_wave is None or self._wave_len != k:
+            raw = self._train_step_pix_raw
+
+            def wave(vars_g, opt_state, vars_ex, vars_map, mi, refs,
+                     lq, gt, i0):
+                def body(carry, xs):
+                    vg, os_ = carry
+                    mi_, r_, lq_, gt_, idx = xs
+                    vg, os_, losses = raw(vg, os_, vars_ex, vars_map,
+                                          mi_, r_, lq_, gt_, idx)
+                    return (vg, os_), losses['l_pix']
+                (vg, os_), l_pix = jax.lax.scan(
+                    body, (vars_g, opt_state),
+                    (mi, refs, lq, gt, i0 + jnp.arange(k)))
+                return vg, os_, l_pix
+            self._train_step_wave = jax.jit(wave, donate_argnums=(0, 1))
+            self._wave_len = k
+
+        self.vars_g, self.opt_state_g, l_pix = self._train_step_wave(
+            self.vars_g, self.opt_state_g, self.vars_extractor,
+            self.vars_map, mi, refs, lq, gt,
+            jnp.asarray(first_iter - 1))
+        self.log_dict = self.reduce_loss_dict({'l_pix': l_pix[-1]})
 
     def _build_train_step_gan(self):
         cri_pix = self.cri_pix

@@ -251,6 +251,8 @@ class SRModel(BaseModel):
                     ema_variables, new_vars)
             return new_vars, opt_state, ema_variables, losses
 
+        # unjitted step for multi-step (wave) dispatch
+        self._train_step_raw = step
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
     def _build_eval_step(self):
@@ -280,6 +282,62 @@ class SRModel(BaseModel):
                              self.vgg_variables, lq, gt,
                              current_iter - 1)
         self.log_dict = self.reduce_loss_dict(losses)
+
+    def optimize_parameters_wave(self, batches, first_iter):
+        """K optimizer steps fused into one jitted lax.scan dispatch
+        (``train: steps_per_dispatch``); trajectory-identical to
+        per-step dispatch since LR schedules are pure functions of the
+        step index. GAN-family subclasses override
+        ``optimize_parameters`` with host-side alternation logic, so
+        anything but a plain SRModel step falls back to per-step."""
+        k = len(batches)
+        overridden = type(self).optimize_parameters \
+            is not SRModel.optimize_parameters
+        if k == 1 or overridden:
+            for j, b in enumerate(batches):
+                self.feed_data(b)
+                self.optimize_parameters(first_iter + j)
+            return
+
+        lqs, gts = [], []
+        for b in batches:
+            self.feed_data(b)  # lazy init + per-model normalization
+            lqs.append(self.lq)
+            gts.append(self.gt)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, 'data'))
+        lq = jax.device_put(np.stack(lqs), sh)
+        gt = jax.device_put(np.stack(gts), sh)
+
+        if getattr(self, '_train_step_wave', None) is None or \
+                getattr(self, '_wave_len', None) != k:
+            raw = self._train_step_raw
+
+            def wave(variables, opt_state, ema, vgg_vars, lq, gt, i0):
+                def body(carry, xs):
+                    v, os_, e = carry
+                    lq_, gt_, idx = xs
+                    v, os_, e, losses = raw(v, os_, e, vgg_vars, lq_,
+                                            gt_, idx)
+                    return (v, os_, e), losses
+                (v, os_, e), losses = jax.lax.scan(
+                    body, (variables, opt_state, ema),
+                    (lq, gt, i0 + jnp.arange(k)))
+                return v, os_, e, losses
+            self._train_step_wave = jax.jit(wave,
+                                            donate_argnums=(0, 1, 2))
+            self._wave_len = k
+
+        ema = self.ema_variables if self.ema_decay > 0 else None
+        self.variables, self.opt_state, self.ema_variables, losses = \
+            self._train_step_wave(self.variables, self.opt_state, ema,
+                                  self.vgg_variables, lq, gt,
+                                  jnp.asarray(first_iter - 1))
+        self.log_dict = self.reduce_loss_dict(
+            {name: v[-1] for name, v in losses.items()})
 
     def test(self):
         if self._eval_step is None:

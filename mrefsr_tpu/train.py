@@ -175,6 +175,19 @@ def train_pipeline(root_path, args=None):
     profiler = StepProfiler(opt)
     start_time = time.time()
 
+    # steps_per_dispatch > 1 fuses K optimizer steps into one jitted
+    # lax.scan dispatch (see optimize_parameters_wave) — the standard
+    # TPU multi-step training dispatch. Logging/ckpt/val frequencies
+    # then fire when a wave CROSSES a multiple of the frequency.
+    wave_k = int(opt['train'].get('steps_per_dispatch') or 1)
+    use_wave = wave_k > 1 and hasattr(model, 'optimize_parameters_wave')
+    if use_wave:
+        logger.info(f'Fusing {wave_k} steps per device dispatch.')
+
+    def crossed(freq, lo, hi):
+        """A multiple of freq lies in (lo, hi]."""
+        return hi // int(freq) > lo // int(freq)
+
     epoch = start_epoch
     while current_iter <= total_iters:
         train_sampler.set_epoch(epoch)
@@ -184,20 +197,38 @@ def train_pipeline(root_path, args=None):
         while train_data is not None:
             data_timer.record()
 
-            current_iter += 1
-            if current_iter > total_iters:
+            if current_iter >= total_iters:
                 break
-            model.update_learning_rate(
-                current_iter,
-                warmup_iter=opt['train'].get('warmup_iter', -1))
-            profiler.maybe_start(current_iter)
-            model.feed_data(train_data)
-            model.optimize_parameters(current_iter)
-            profiler.maybe_stop(current_iter)
+            prev_iter = current_iter
+            if use_wave:
+                batches = [train_data]
+                while (len(batches) < wave_k and
+                       current_iter + len(batches) < total_iters):
+                    nxt = prefetcher.next()
+                    if nxt is None:
+                        break
+                    batches.append(nxt)
+                current_iter += len(batches)
+                model.update_learning_rate(
+                    current_iter,
+                    warmup_iter=opt['train'].get('warmup_iter', -1))
+                profiler.maybe_start(current_iter)
+                model.optimize_parameters_wave(batches, prev_iter + 1)
+                profiler.maybe_stop(current_iter)
+            else:
+                current_iter += 1
+                model.update_learning_rate(
+                    current_iter,
+                    warmup_iter=opt['train'].get('warmup_iter', -1))
+                profiler.maybe_start(current_iter)
+                model.feed_data(train_data)
+                model.optimize_parameters(current_iter)
+                profiler.maybe_stop(current_iter)
             iter_timer.record()
-            if current_iter == 1:
+            if prev_iter == 0:
                 msg_logger.reset_start_time()
-            if current_iter % opt['logger']['print_freq'] == 0:
+            if crossed(opt['logger']['print_freq'], prev_iter,
+                       current_iter):
                 log_vars = {'epoch': epoch, 'iter': current_iter}
                 log_vars.update(
                     {'lrs': model.get_current_learning_rate()})
@@ -206,13 +237,13 @@ def train_pipeline(root_path, args=None):
                 log_vars.update(model.get_current_log())
                 msg_logger(log_vars)
 
-            if current_iter % opt['logger'][
-                    'save_checkpoint_freq'] == 0:
+            if crossed(opt['logger']['save_checkpoint_freq'], prev_iter,
+                       current_iter):
                 logger.info('Saving models and training states.')
                 model.save(epoch, current_iter)
 
-            if opt.get('val') is not None and (
-                    current_iter % opt['val']['val_freq'] == 0):
+            if opt.get('val') is not None and crossed(
+                    opt['val']['val_freq'], prev_iter, current_iter):
                 for val_loader in val_loaders:
                     model.validation(val_loader, current_iter, tb_logger,
                                      opt['val'].get('save_img', False))

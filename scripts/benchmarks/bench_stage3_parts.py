@@ -3,38 +3,34 @@
 Splits the MultiRefRestorationModel pixel step into: contrastive VGG16
 extraction, correspondence generation (patch matching + VGG19 ref
 features), net_g forward, net_g fwd+bwd, and the full jitted step.
-Every timed function carries a data-dependency chain (input perturbed by
-the previous output) so runs cannot be elided/memoized by the runtime.
-All weights are passed as jit ARGUMENTS, never closures, so XLA cannot
-constant-fold the frozen VGG towers (pathological compile times).
+Timing uses the scan-based harness (tpu_timer): N iterations inside one
+jitted lax.scan with a data-dependency chain through the carry — host
+loops through the device tunnel mis-measure (per-call round-trip
+latency dwarfs device time). All weights are passed as jit ARGUMENTS,
+never closures, so XLA cannot constant-fold the frozen VGG towers
+(pathological compile times).
 
 Usage: PYTHONPATH=/root/.axon_site:. python scripts/benchmarks/bench_stage3_parts.py
 """
 import os
-import time
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, 'scripts/benchmarks')
+from tpu_timer import dep_carry, scan_time  # noqa: E402
 
-def chain_bench(name, fn, x0, *args, iters=5):
+
+def chain_bench(name, fn, x0, *args, iters=8):
     """fn(x, *args) -> pytree; times with x perturbed by prior output."""
-    @jax.jit
-    def step(x, *a):
+    def body(x, *a):
         out = fn(x, *a)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        bump = (leaf.astype(jnp.float32).ravel()[0] * 1e-12).astype(x.dtype)
-        return x + bump, out
+        return dep_carry(out, x), out
 
-    x, out = step(x0, *args)
-    jax.block_until_ready((x, out))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x, out = step(x, *args)
-    jax.block_until_ready((x, out))
-    dt = (time.perf_counter() - t0) / iters
-    print(f'{name:34s} {dt*1e3:9.1f} ms')
+    dt = scan_time(body, x0, *args, n=iters)
+    print(f'{name:34s} {dt*1e3:9.1f} ms', flush=True)
     return dt
 
 

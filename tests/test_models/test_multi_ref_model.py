@@ -132,3 +132,28 @@ def test_multi_ref_model_gan_phase():
     assert 'l_d_real' in model.log_dict
     assert np.isfinite(model.log_dict['l_d_real'])
     assert 'l_g_gan' in model.log_dict
+
+
+def test_wave_dispatch_matches_per_step():
+    """steps_per_dispatch: K (one jitted scan over K optimizer steps)
+    must produce the same trajectory as K per-step dispatches."""
+    import jax
+
+    rng = np.random.RandomState(3)
+    batches = [make_batch(np.random.RandomState(100 + i)) for i in range(4)]
+
+    m_seq = build_model(make_opt(multi=True))
+    for i, b in enumerate(batches, start=1):
+        m_seq.feed_data(b)
+        m_seq.optimize_parameters(i)
+
+    m_wave = build_model(make_opt(multi=True))
+    m_wave.optimize_parameters_wave(batches[:2], 1)
+    m_wave.optimize_parameters_wave(batches[2:], 3)
+
+    seq = jax.tree_util.tree_leaves(m_seq.vars_g['params'])
+    wav = jax.tree_util.tree_leaves(m_wave.vars_g['params'])
+    for a, b in zip(seq, wav):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    assert np.isfinite(m_wave.log_dict['l_pix'])

@@ -162,3 +162,38 @@ def test_sr_model_load_saved_checkpoint(tiny_dataset, tmp_path):
     model.test()
     np.testing.assert_allclose(np.asarray(model2.output),
                                np.asarray(model.output), atol=1e-5)
+
+
+def test_sr_model_wave_dispatch_matches_per_step(tiny_dataset, tmp_path):
+    """steps_per_dispatch wave (jitted scan over K steps) must match the
+    per-step trajectory, including EMA."""
+    import jax
+
+    gt_dir, lq_dir = tiny_dataset
+    batches = []
+    for i in range(4):
+        rng = np.random.RandomState(50 + i)
+        batches.append({
+            'lq': rng.rand(2, 8, 8, 3).astype(np.float32),
+            'gt': rng.rand(2, 32, 32, 3).astype(np.float32),
+        })
+
+    m_seq = build_model(make_opt(gt_dir, lq_dir, tmp_path))
+    for i, b in enumerate(batches, start=1):
+        m_seq.feed_data(b)
+        m_seq.optimize_parameters(i)
+
+    m_wave = build_model(make_opt(gt_dir, lq_dir, tmp_path))
+    m_wave.optimize_parameters_wave(batches[:2], 1)
+    m_wave.optimize_parameters_wave(batches[2:], 3)
+
+    for a, b in zip(jax.tree_util.tree_leaves(m_seq.variables['params']),
+                    jax.tree_util.tree_leaves(m_wave.variables['params'])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    if m_seq.ema_decay > 0:
+        for a, b in zip(
+                jax.tree_util.tree_leaves(m_seq.ema_variables),
+                jax.tree_util.tree_leaves(m_wave.ema_variables)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
