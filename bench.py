@@ -7,12 +7,14 @@ aggregation, L1 loss, Adam update with 4 LR groups) at the reference's
 gt_size=160 on however many chips are attached, and reports
 images/sec/chip.
 
-vs_baseline: the reference publishes no throughput numbers
-(BASELINE.md — "published": {}), so the denominator is a documented
-nominal estimate of the reference's per-GPU stage3 throughput:
-REF_IMGS_PER_SEC_PER_GPU = 12.0 (4xGPU DDP, batch 12/GPU — a typical
-V100-class rate for this workload). Replace when a measured reference
-number exists.
+vs_baseline follows BASELINE.json's north star — "a single v5e-8
+exceeding the reference's 4-GPU stage3 training throughput":
+vs_baseline = (imgs/sec/chip x 8 chips) / (4 GPUs x nominal per-GPU
+rate). The reference publishes no throughput numbers (BASELINE.md —
+"published": {}), so the per-GPU denominator is a documented nominal
+estimate: REF_IMGS_PER_SEC_PER_GPU = 12.0 (4xGPU DDP, batch 12/GPU —
+a typical V100-class rate for this workload). Replace when a measured
+reference number exists.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,6 +26,8 @@ import time
 import numpy as np
 
 REF_IMGS_PER_SEC_PER_GPU = 12.0
+REF_NUM_GPUS = 4
+TARGET_NUM_CHIPS = 8  # one v5e-8 host
 
 
 def main():
@@ -136,8 +140,9 @@ def main():
         'metric': 'lmr_5ref_x4_train_imgs_per_sec_per_chip',
         'value': round(imgs_per_sec_chip, 3),
         'unit': 'images/sec/chip',
-        'vs_baseline': round(imgs_per_sec_chip /
-                             REF_IMGS_PER_SEC_PER_GPU, 3),
+        'vs_baseline': round(
+            imgs_per_sec_chip * TARGET_NUM_CHIPS /
+            (REF_IMGS_PER_SEC_PER_GPU * REF_NUM_GPUS), 3),
     }
     print(json.dumps(result))
 

@@ -150,14 +150,19 @@ def _slab_bilinear(x4_g, dims, dtype, fy, fx):
     yc = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
     xc = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
     rows = yc * (w + 1) + xc
-    g4 = jnp.take(x4_g, rows.reshape(-1), axis=0).reshape(
-        fy.shape + (4, cg))
-    wts = jnp.stack([wy0 * wx0 * vy0 * vx0,
-                     wy0 * wx1 * vy0 * vx1,
-                     wy1 * wx0 * vy1 * vx0,
-                     wy1 * wx1 * vy1 * vx1], axis=-1)  # (Ho, Wo, 4)
-    return jnp.einsum('...kc,...k->...c', g4, wts,
-                      preferred_element_type=dtype)
+    g4 = jnp.take(x4_g, rows.reshape(-1), axis=0)  # (Ho*Wo, 4*cg)
+    ws = (wy0 * wx0 * vy0 * vx0,
+          wy0 * wx1 * vy0 * vx1,
+          wy1 * wx0 * vy1 * vx0,
+          wy1 * wx1 * vy1 * vx1)
+    # combine the 4 corners with LANE slices of the gathered row: a
+    # (..., 4, cg) reshape + einsum here forces a transposed VMEM copy
+    # of every gathered row; the slice form measured fastest (a fused
+    # 4x-tiled-weight matmul variant was 1.7x SLOWER — the extra MACs
+    # and the weight-row broadcast cost more than the copies saved)
+    out = sum(g4[:, i * cg:(i + 1) * cg] * w.reshape(-1, 1)
+              for i, w in enumerate(ws))
+    return out.reshape(fy.shape + (cg,))
 
 
 def _mdcn_tap_scan(x, offset, mask, weight, dims, oy, ox, ky, kx):
@@ -245,15 +250,17 @@ def _deform_gather_tap_packed(x4, dims, dtype, fy, fx):
     bidx = jnp.arange(n).reshape(n, 1, 1, 1)
     gidx = jnp.arange(dg).reshape(1, 1, 1, dg)
     rows = (bidx * dg + gidx) * ((h + 1) * (w + 1)) + yc * (w + 1) + xc
-    g4 = jnp.take(x4, rows.reshape(-1), axis=0).reshape(
-        fy.shape + (4, cg))
+    g4 = jnp.take(x4, rows.reshape(-1), axis=0)  # (N*Ho*Wo*dg, 4*cg)
 
-    wts = jnp.stack([wy0 * wx0 * vy0 * vx0,
-                     wy0 * wx1 * vy0 * vx1,
-                     wy1 * wx0 * vy1 * vx0,
-                     wy1 * wx1 * vy1 * vx1], axis=-1)  # (N,Ho,Wo,dg,4)
-    return jnp.einsum('...kc,...k->...c', g4, wts,
-                      preferred_element_type=dtype)
+    ws = (wy0 * wx0 * vy0 * vx0,
+          wy0 * wx1 * vy0 * vx1,
+          wy1 * wx0 * vy1 * vx0,
+          wy1 * wx1 * vy1 * vx1)
+    # lane-slice corner combine — see _slab_bilinear for why not a
+    # (..., 4, cg) reshape + einsum
+    out = sum(g4[:, i * cg:(i + 1) * cg] * w.reshape(-1, 1)
+              for i, w in enumerate(ws))
+    return out.reshape(fy.shape + (cg,))
 
 
 def offset_mask_from_conv_out(out, deform_groups, kernel_size=(3, 3)):

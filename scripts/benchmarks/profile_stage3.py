@@ -79,18 +79,34 @@ def main():
         return
 
     from xprof.convert import raw_to_tool_data
-    for tool in ('hlo_op_stats', 'framework_op_stats', 'op_profile'):
-        try:
-            data, ctype = raw_to_tool_data.xspace_to_tool_data(
-                planes, tool, {})
-        except Exception as e:  # noqa: BLE001
-            print(f'{tool}: FAILED {e}')
-            continue
-        out = f'/tmp/stage3_profile/{tool}.out'
-        mode = 'wb' if isinstance(data, bytes) else 'w'
-        with open(out, mode) as f:
-            f.write(data)
-        print(f'{tool}: wrote {out} ({ctype}, {len(data)} bytes)')
+    data, _ = raw_to_tool_data.xspace_to_tool_data(planes, 'hlo_stats',
+                                                   {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    obj = json.loads(data)
+    cols = [c['label'] for c in obj['cols']]
+    ci = {c: i for i, c in enumerate(cols)}
+    rows = [[c.get('v') for c in r['c']] for r in obj['rows']]
+
+    import collections
+    cat = collections.Counter()
+    for r in rows:
+        cat[r[ci['HLO op category']]] += r[ci['Total self time (us)']] \
+            or 0
+    tot = sum(cat.values())
+    print(f'total self us: {tot:.0f}')
+    for k, v in cat.most_common(12):
+        print(f'{k:28s} {v:>10.0f} {100 * v / tot:5.1f}%')
+    print()
+    rows.sort(key=lambda r: -(r[ci['Total self time (us)']] or 0))
+    print(f"{'op':30s} {'self_us':>9s} {'%':>6s} {'bound':12s} source")
+    for r in rows[:25]:
+        src = str(r[ci['Source Info']])
+        src = src.split("title='")[-1].split('\n')[0][-48:]
+        print(f"{str(r[ci['HLO op name']])[:30]:30s} "
+              f"{r[ci['Total self time (us)']]:>9.0f} "
+              f"{r[ci['Total self time (%)']]:>6.2f} "
+              f"{str(r[ci['Bound by']])[:12]:12s} {src}")
 
 
 if __name__ == '__main__':
