@@ -49,7 +49,9 @@ def main():
         'manual_seed': 0, 'is_train': True, 'dist': False, 'rank': 0,
         'world_size': 1,
         'network_g': {'type': 'MRAPARestorationNet', 'ngf': 64,
-                      'n_blocks': 16, 'groups': 8},
+                      'n_blocks': 16, 'groups': 8,
+                      'ref_unroll': int(os.environ.get(
+                          'BENCH_REF_UNROLL', '1'))},
         'network_map': {'type': 'CorrespondenceGenerationArch',
                         'patch_size': 3, 'stride': 1,
                         'vgg_layer_list': ['relu1_1', 'relu2_1',

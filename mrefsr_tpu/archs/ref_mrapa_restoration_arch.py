@@ -205,7 +205,7 @@ def _align_one_ref(mdl, carry, per_ref, ref_nf, groups, prefix):
 
 
 def _scale_stage(mdl, x, pre_offset, ref_feat, nf, ref_nf, n_blocks,
-                 groups, prefix):
+                 groups, prefix, ref_unroll=1):
     """One decoder scale: per-ref alignment scanned over the T refs +
     fusion + residual body (shared structure of reference :213-257).
     Called with the owning module so scanned params attach flat,
@@ -218,7 +218,7 @@ def _scale_stage(mdl, x, pre_offset, ref_feat, nf, ref_nf, n_blocks,
         variable_broadcast='params',
         variable_axes={'intermediates': 1},
         split_rngs={'params': False},
-        in_axes=1, out_axes=1)
+        in_axes=1, out_axes=1, unroll=ref_unroll)
     _, swapped = align(mdl, x, (ref_feat, pre_offset))  # (B,T,H,W,C)
 
     fusion_cls = nn.remat(MRAPAFusion)
@@ -240,22 +240,31 @@ def _scale_stage(mdl, x, pre_offset, ref_feat, nf, ref_nf, n_blocks,
 
 class DynamicAggregationRestoration(nn.Module):
     """3-scale decoder (reference :140-259). Multi-ref inputs are stacked:
-    pre_offset {level: (B,T,H,W,9,2)}, ref feats {level: (B,T,H,W,C)}."""
+    pre_offset {level: (B,T,H,W,9,2)}, ref feats {level: (B,T,H,W,C)}.
+
+    ref_unroll unrolls the per-ref alignment scan (lax.scan unroll):
+    1 = minimum live memory (one ref's DCN intermediates at a time),
+    T = fully unrolled (lets XLA interleave one ref's gather-bound DCN
+    with another's MXU work when HBM allows)."""
     ngf: int = 64
     n_blocks: int = 16
     groups: int = 8
+    ref_unroll: int = 1
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
         x = _scale_stage(self, x, pre_offset['relu3_1'],
                          img_ref_feat['relu3_1'], self.ngf, 256,
-                         self.n_blocks, self.groups, 'small')
+                         self.n_blocks, self.groups, 'small',
+                         self.ref_unroll)
         x = _scale_stage(self, x, pre_offset['relu2_1'],
                          img_ref_feat['relu2_1'], self.ngf, 128,
-                         self.n_blocks, self.groups, 'medium')
+                         self.n_blocks, self.groups, 'medium',
+                         self.ref_unroll)
         x = _scale_stage(self, x, pre_offset['relu1_1'],
                          img_ref_feat['relu1_1'], self.ngf, 64,
-                         self.n_blocks, self.groups, 'large')
+                         self.n_blocks, self.groups, 'large',
+                         self.ref_unroll)
         return x
 
 
@@ -270,6 +279,7 @@ class MRAPARestorationNet(nn.Module):
     ngf: int = 64
     n_blocks: int = 16
     groups: int = 8
+    ref_unroll: int = 1
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
@@ -278,6 +288,6 @@ class MRAPARestorationNet(nn.Module):
         content_feat = ContentExtractor(self.ngf, self.n_blocks,
                                         name='content_extractor')(x)
         upscale = DynamicAggregationRestoration(
-            self.ngf, self.n_blocks, self.groups,
+            self.ngf, self.n_blocks, self.groups, self.ref_unroll,
             name='dyn_agg_restore')(content_feat, pre_offset, img_ref_feat)
         return upscale + base
