@@ -1,6 +1,15 @@
 """Offline LPIPS over two folders
-(reference scripts/metrics/calculate_lpips.py). Requires the ``lpips``
-package (torch); gated since this environment may not ship it."""
+(reference scripts/metrics/calculate_lpips.py).
+
+Runs NATIVELY on the framework's flax LPIPS (mrefsr_tpu/metrics/
+lpips.py) given local paths to the official weight files; no external
+``lpips`` package needed (the reference requires it).
+
+Usage:
+  python scripts/metrics/calculate_lpips.py --gt <dir> --restored <dir> \
+      --lpips_weights vgg.pth --vgg16_weights vgg16-397923af.pth
+"""
+import argparse
 import os.path as osp
 import sys
 
@@ -9,43 +18,40 @@ import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.dirname(
     osp.abspath(__file__)))))
+from mrefsr_tpu.metrics import calculate_lpips  # noqa: E402
 from mrefsr_tpu.utils.misc import scandir  # noqa: E402
-
-try:
-    import lpips
-    import torch
-except ImportError:
-    lpips = None
 
 
 def main():
-    if lpips is None:
-        raise ImportError('Please install lpips: pip install lpips')
-    loss_fn_vgg = lpips.LPIPS(net='vgg')
-    mean = [0.5, 0.5, 0.5]
-    std = [0.5, 0.5, 0.5]
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--gt', type=str,
+                        default='datasets/celeba/celeba_512_validation')
+    parser.add_argument('--restored', type=str,
+                        default='results/restored')
+    parser.add_argument('--lpips_weights', type=str, required=True,
+                        help='official LPIPS vgg.pth (lin heads)')
+    parser.add_argument('--vgg16_weights', type=str, required=True,
+                        help='torchvision vgg16 state dict')
+    parser.add_argument('--suffix', type=str, default='',
+                        help='suffix of restored filenames')
+    args = parser.parse_args()
 
-    folder_gt = 'datasets/celeba/celeba_512_validation'
-    folder_restored = 'results/restored'
-    img_list = sorted(scandir(folder_gt, recursive=True, full_path=True))
+    img_list = sorted(scandir(args.gt, recursive=True, full_path=True))
     lpips_all = []
     for i, img_path in enumerate(img_list):
         basename, ext = osp.splitext(osp.basename(img_path))
-        img_gt = cv2.imread(
-            img_path, cv2.IMREAD_UNCHANGED).astype(np.float32) / 255.
+        img_gt = cv2.imread(img_path, cv2.IMREAD_COLOR)
         img_restored = cv2.imread(
-            osp.join(folder_restored, basename + ext),
-            cv2.IMREAD_UNCHANGED).astype(np.float32) / 255.
-
-        def to_tensor(img):
-            t = torch.from_numpy(
-                img[:, :, ::-1].transpose(2, 0, 1).copy()).float()
-            for c, (m, s) in enumerate(zip(mean, std)):
-                t[c] = (t[c] - m) / s
-            return t.unsqueeze(0)
-
-        val = loss_fn_vgg(to_tensor(img_restored),
-                          to_tensor(img_gt)).item()
+            osp.join(args.restored, basename + args.suffix + ext),
+            cv2.IMREAD_COLOR)
+        # BGR -> RGB, [0,255] float (the metric normalizes internally,
+        # matching the reference wrapper's mean/std 0.5 preprocessing)
+        val = calculate_lpips(
+            img_gt[:, :, ::-1].astype(np.float32),
+            img_restored[:, :, ::-1].astype(np.float32),
+            crop_border=0,
+            lpips_weights=args.lpips_weights,
+            vgg16_weights=args.vgg16_weights)
         print(f'{i + 1:3d}: {basename:25}. \tLPIPS: {val:.6f}.')
         lpips_all.append(val)
     print(f'Average: LPIPS: {sum(lpips_all) / len(lpips_all):.6f}')
