@@ -157,3 +157,16 @@ def test_wave_dispatch_matches_per_step():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
     assert np.isfinite(m_wave.log_dict['l_pix'])
+
+
+@pytest.mark.slow
+def test_wave_falls_back_across_gan_boundary():
+    """A wave that would cross net_g_pretrain_steps must fall back to
+    per-step dispatch so the GAN alternation logic runs."""
+    opt = make_opt(multi=True, gan=True)  # pretrain_steps = 2
+    model = build_model(opt)
+    batches = [make_batch(np.random.RandomState(200 + i), b=2, t=2)
+               for i in range(4)]
+    model.optimize_parameters_wave(batches, 1)  # iters 1-4, crosses 2
+    assert 'l_d_real' in model.log_dict  # GAN phase actually ran
+    assert np.isfinite(model.log_dict['l_d_real'])
