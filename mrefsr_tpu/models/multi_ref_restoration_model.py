@@ -65,7 +65,6 @@ class MultiRefRestorationModel(BaseModel):
         self._train_step_pix = None
         self._train_step_gan = None
         self._train_step_wave = None
-        self._wave_len = None
         self._eval_step = None
         self._resume_trees = None
 
@@ -419,9 +418,13 @@ class MultiRefRestorationModel(BaseModel):
         lq = jax.device_put(np.stack(lqs), sh)
         gt = jax.device_put(np.stack(gts), sh)
 
-        if self._train_step_wave is None or self._wave_len != k:
+        if self._train_step_wave is None:
             raw = self._train_step_pix_raw
 
+            # ONE jitted fn for every wave length: the scan length is
+            # baked in by the leading batch-stack dim, so jit's own
+            # cache keeps full waves AND epoch-tail short waves
+            # compiled side by side
             def wave(vars_g, opt_state, vars_ex, vars_map, mi, refs,
                      lq, gt, i0):
                 def body(carry, xs):
@@ -432,10 +435,9 @@ class MultiRefRestorationModel(BaseModel):
                     return (vg, os_), losses['l_pix']
                 (vg, os_), l_pix = jax.lax.scan(
                     body, (vars_g, opt_state),
-                    (mi, refs, lq, gt, i0 + jnp.arange(k)))
+                    (mi, refs, lq, gt, i0 + jnp.arange(mi.shape[0])))
                 return vg, os_, l_pix
             self._train_step_wave = jax.jit(wave, donate_argnums=(0, 1))
-            self._wave_len = k
 
         self.vars_g, self.opt_state_g, l_pix = self._train_step_wave(
             self.vars_g, self.opt_state_g, self.vars_extractor,

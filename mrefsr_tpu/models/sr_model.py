@@ -312,10 +312,11 @@ class SRModel(BaseModel):
         lq = jax.device_put(np.stack(lqs), sh)
         gt = jax.device_put(np.stack(gts), sh)
 
-        if getattr(self, '_train_step_wave', None) is None or \
-                getattr(self, '_wave_len', None) != k:
+        if getattr(self, '_train_step_wave', None) is None:
             raw = self._train_step_raw
 
+            # one jitted fn for every wave length (length baked in by
+            # the stacked leading dim; jit caches each length)
             def wave(variables, opt_state, ema, vgg_vars, lq, gt, i0):
                 def body(carry, xs):
                     v, os_, e = carry
@@ -325,11 +326,10 @@ class SRModel(BaseModel):
                     return (v, os_, e), losses
                 (v, os_, e), losses = jax.lax.scan(
                     body, (variables, opt_state, ema),
-                    (lq, gt, i0 + jnp.arange(k)))
+                    (lq, gt, i0 + jnp.arange(lq.shape[0])))
                 return v, os_, e, losses
             self._train_step_wave = jax.jit(wave,
                                             donate_argnums=(0, 1, 2))
-            self._wave_len = k
 
         ema = self.ema_variables if self.ema_decay > 0 else None
         self.variables, self.opt_state, self.ema_variables, losses = \
