@@ -117,7 +117,8 @@ def main():
 
     args = (model.vars_g, model.opt_state_g, model.vars_extractor,
             model.vars_map, match_img_in, refs, lq, gt_dev)
-    n_steps = int(os.environ.get('BENCH_STEPS', '16'))
+    # the (tN - t1)/(N - 1) dispatch-cancellation needs N >= 2
+    n_steps = max(2, int(os.environ.get('BENCH_STEPS', '16')))
 
     def measure(run, reps=2):
         best = float('inf')
@@ -133,8 +134,9 @@ def main():
 
     t1 = measure(run_steps(1))
     tn = measure(run_steps(n_steps))
-    # per-step device time with dispatch/transfer overhead cancelled
-    elapsed = (tn - t1) / (n_steps - 1) * n_steps
+    # per-step device time with dispatch/transfer overhead cancelled;
+    # guard against measurement noise making tn <= t1
+    elapsed = max(tn - t1, 1e-9) / (n_steps - 1) * n_steps
 
     imgs_per_sec = b * n_steps / elapsed
     imgs_per_sec_chip = imgs_per_sec / n_devices

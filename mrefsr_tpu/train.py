@@ -189,7 +189,7 @@ def train_pipeline(root_path, args=None):
         return hi // int(freq) > lo // int(freq)
 
     epoch = start_epoch
-    while current_iter <= total_iters:
+    while current_iter < total_iters:
         train_sampler.set_epoch(epoch)
         prefetcher.reset()
         train_data = prefetcher.next()
@@ -229,11 +229,15 @@ def train_pipeline(root_path, args=None):
                 msg_logger.reset_start_time()
             if crossed(opt['logger']['print_freq'], prev_iter,
                        current_iter):
+                # one timer record covers the whole wave — report
+                # PER-ITER times so logs compare across dispatch modes
+                steps = max(current_iter - prev_iter, 1)
                 log_vars = {'epoch': epoch, 'iter': current_iter}
                 log_vars.update(
                     {'lrs': model.get_current_learning_rate()})
-                log_vars.update({'time': iter_timer.get_avg_time(),
-                                 'data_time': data_timer.get_avg_time()})
+                log_vars.update(
+                    {'time': iter_timer.get_avg_time() / steps,
+                     'data_time': data_timer.get_avg_time() / steps})
                 log_vars.update(model.get_current_log())
                 msg_logger(log_vars)
 

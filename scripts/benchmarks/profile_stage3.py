@@ -93,7 +93,7 @@ def main():
     for r in rows:
         cat[r[ci['HLO op category']]] += r[ci['Total self time (us)']] \
             or 0
-    tot = sum(cat.values())
+    tot = sum(cat.values()) or 1.
     print(f'total self us: {tot:.0f}')
     for k, v in cat.most_common(12):
         print(f'{k:28s} {v:>10.0f} {100 * v / tot:5.1f}%')
@@ -104,8 +104,8 @@ def main():
         src = str(r[ci['Source Info']])
         src = src.split("title='")[-1].split('\n')[0][-48:]
         print(f"{str(r[ci['HLO op name']])[:30]:30s} "
-              f"{r[ci['Total self time (us)']]:>9.0f} "
-              f"{r[ci['Total self time (%)']]:>6.2f} "
+              f"{(r[ci['Total self time (us)']] or 0):>9.0f} "
+              f"{(r[ci['Total self time (%)']] or 0):>6.2f} "
               f"{str(r[ci['Bound by']])[:12]:12s} {src}")
 
 

@@ -3,10 +3,11 @@ reference's scripts/matlab_scripts/generate_LR_Vimeo90K.m, built on the
 framework's MATLAB-bit-matching ``imresize`` (mrefsr_tpu/utils/
 matlab_functions.py) so no MATLAB license is needed.
 
-Walks ``<root>/sequences/*/*/*.png``, mod-crops to a multiple of 4,
-downscales 1/4 with antialiased bicubic, and writes the same tree under
-``<root replaced: vimeo_septuplet -> vimeo_septuplet_matlabLRx4>``
-(matching the .m's strrep naming, reference :12).
+Walks ``<root>/sequences/*/*/*.png``, mod-crops to a multiple of the
+scale, downscales 1/scale with antialiased bicubic, and writes the same
+tree under ``<root>_matlabLRx<scale>`` (the .m's strrep naming,
+reference :12, generalized so a renamed dataset root can never make the
+output path collapse onto the input).
 
 Usage:
   python scripts/matlab_scripts/generate_lr_vimeo90k.py \
@@ -40,9 +41,11 @@ def main():
 
     paths = sorted(glob.glob(osp.join(args.root, 'sequences', '*', '*',
                                       '*.png')))
+    root = args.root.rstrip('/')
+    out_root = f'{root}_matlabLRx{args.scale}'
     for idx, path in enumerate(paths, 1):
-        save_path = path.replace('vimeo_septuplet',
-                                 'vimeo_septuplet_matlabLRx4')
+        save_path = out_root + path[len(root):]
+        assert osp.abspath(save_path) != osp.abspath(path), save_path
         os.makedirs(osp.dirname(save_path), exist_ok=True)
         img = cv2.imread(path, cv2.IMREAD_COLOR).astype(np.float64) / 255.
         img = modcrop(img, args.scale)
