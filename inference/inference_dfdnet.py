@@ -108,7 +108,10 @@ def main():
         part_locations = get_part_location(np.asarray(landmarks))
         x = jnp.asarray(
             (img[:, :, ::-1].astype(np.float32) / 255.)[None] * 2 - 1)
-        out = model.apply(variables, x, part_locations, face_dict)
+        # part boxes are traced values, so one compiled graph serves
+        # every face (static 512x512 shapes end to end)
+        out = jax.jit(model.apply)(variables, x, part_locations,
+                                   face_dict)
         out = tensor2img(out, min_max=(-1, 1))
         imwrite(out, os.path.join(args.save_path,
                                   f'{img_name}_DFDNet.png'))

@@ -123,6 +123,79 @@ class DCNv2Pack(nn.Module):
             groups=self.groups, deform_groups=dg)
 
 
+class RefAwareBlock(nn.Module):
+    """Conditional-conv mixture-of-experts block (reference
+    arch_util.py:142-197): a per-sample sigmoid routing over
+    ``num_experts`` 3x3 conv kernels, computed from the spatial mean of
+    the concatenated (input, ref) features, applies the combined kernel
+    per sample, and gates the result with an SE branch on the same
+    pooled vector. (Unused by any registered reference arch; kept for
+    inventory parity.)
+
+    TPU layout: experts live as ``expert_kernel`` (E, kh, kw, c_in,
+    c_out) + ``expert_bias`` (E, c_out) so the routing mix is one einsum
+    feeding a batched HWIO conv; use :meth:`variables_from_torch` to
+    import the reference's 5-D OIHW-style ``weight``/``bias``.
+    """
+    out_channels: int = 3
+    nf: int = 64
+    ref_nf: int = 256
+    num_experts: int = 4
+
+    @nn.compact
+    def __call__(self, x, ref, original_size=None):
+        x = jnp.concatenate([x, ref], axis=-1)
+        b, h, w, c = x.shape
+        if original_size is None:
+            x_m = x.mean(axis=(1, 2))
+        else:
+            x_m = x[:, :original_size[0], :original_size[1], :].mean(
+                axis=(1, 2))
+        routing = jax.nn.sigmoid(
+            nn.Dense(self.num_experts, name='routing_func.0')(x_m))
+        k = 3
+        experts = self.param(
+            'expert_kernel', srntt_normal_init(0.02),
+            (self.num_experts, k, k, c, self.out_channels))
+        expert_bias = self.param('expert_bias', nn.initializers.zeros,
+                                 (self.num_experts, self.out_channels))
+        kernel = jnp.einsum('be,ehwio->bhwio', routing, experts)
+        bias = routing @ expert_bias
+
+        def conv_one(xi, ki):
+            return jax.lax.conv_general_dilated(
+                xi[None], ki, window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0]
+
+        out = jax.vmap(conv_one)(x, kernel) + bias[:, None, None, :]
+
+        se = nn.Conv(c, (1, 1), name='se.0')(x_m[:, None, None, :])
+        se = nn.relu(se)
+        se = jax.nn.sigmoid(
+            nn.Conv(self.out_channels, (1, 1), name='se.2')(se))
+        return out * se
+
+    @staticmethod
+    def variables_from_torch(state_dict):
+        """Map the reference module's state dict (keys ``weight``,
+        ``bias``, ``routing_func.0.*``, ``se.{0,2}.*``) to this module's
+        variables."""
+        import numpy as np
+        sd = {k: np.asarray(v) for k, v in state_dict.items()}
+        return {'params': {
+            'expert_kernel': sd['weight'].transpose(0, 3, 4, 2, 1),
+            'expert_bias': sd['bias'],
+            'routing_func.0': {
+                'kernel': sd['routing_func.0.weight'].transpose(1, 0),
+                'bias': sd['routing_func.0.bias']},
+            'se.0': {'kernel': sd['se.0.weight'].transpose(2, 3, 1, 0),
+                     'bias': sd['se.0.bias']},
+            'se.2': {'kernel': sd['se.2.weight'].transpose(2, 3, 1, 0),
+                     'bias': sd['se.2.bias']},
+        }}
+
+
 def run_blocks(x, block_cls, num_blocks, prefix, *args, **kwargs):
     """Apply ``num_blocks`` identical blocks named '<prefix>.<i>' — the
     flax analogue of make_layer + nn.Sequential

@@ -138,3 +138,33 @@ def test_edsr_parity(ref_loader):
     fm = EDSR(3, 3, num_feat=16, num_block=2, upscale=2)
     x = np.random.RandomState(3).rand(1, 14, 14, 3).astype(np.float32)
     _compare(tm, fm, x, atol=2e-3)  # img_range=255 amplifies fp error
+
+
+def test_refaware_block_parity(ref_loader):
+    """RefAwareBlock (reference arch_util.py:142-197): conditional-conv
+    MoE + SE gating, incl. the original_size partial-mean path."""
+    arch_util = sys.modules['basicsr.archs.arch_util']
+    torch.manual_seed(7)
+    tm = arch_util.RefAwareBlock(out_channels=3, nf=8, ref_nf=16,
+                                 num_experts=4)
+    tm.eval()
+    from mrefsr_tpu.archs.arch_util import RefAwareBlock
+    fm = RefAwareBlock(out_channels=3, nf=8, ref_nf=16, num_experts=4)
+    variables = jax.tree_util.tree_map(
+        jnp.asarray,
+        RefAwareBlock.variables_from_torch(
+            {k: v.numpy() for k, v in tm.state_dict().items()}))
+
+    rng = np.random.RandomState(11)
+    x = rng.rand(2, 10, 12, 8).astype(np.float32)
+    ref = rng.rand(2, 10, 12, 16).astype(np.float32)
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    rt = torch.from_numpy(np.ascontiguousarray(ref.transpose(0, 3, 1, 2)))
+
+    for orig in (None, (6, 9)):
+        with torch.no_grad():
+            out_t = tm(xt, rt, orig).numpy().transpose(0, 2, 3, 1)
+        out_j = np.asarray(fm.apply(variables, jnp.asarray(x),
+                                    jnp.asarray(ref), orig))
+        assert out_j.shape == out_t.shape
+        np.testing.assert_allclose(out_j, out_t, atol=1e-5)
