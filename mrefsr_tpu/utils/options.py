@@ -184,7 +184,37 @@ def parse_options(root_path, is_train=True, args=None):
         opt['path']['visualization'] = osp.join(results_root,
                                                 'visualization')
 
+    _enable_compilation_cache(opt, root_path)
     return opt, args
+
+
+def _enable_compilation_cache(opt, root_path):
+    """Persistent XLA compilation cache for the CLI pipelines, STRICTLY
+    OPT-IN (``compilation_cache: true`` in YAML or
+    ``MREFSR_XLA_CACHE_DIR=<dir>``): on a standard TPU runtime it lets
+    reruns of the same config skip the minutes-long compile, but on
+    remote-compile runtimes (e.g. the tunneled axon platform) cache
+    keys were observed never to match across sessions (entries written,
+    zero reused), making it pure serialization overhead — so it must
+    not be the default. (No reference equivalent — torch has no AOT
+    graph compile to cache.)"""
+    env = os.environ.get('MREFSR_XLA_CACHE_DIR')
+    if not env and not opt.get('compilation_cache'):
+        return
+    if env == '0' or opt.get('compilation_cache') is False:
+        return
+    cache_dir = (env if env and env != '1' else None) \
+        or opt['path'].get('compilation_cache') \
+        or osp.join(root_path, 'experiments', '.xla_cache')
+    try:
+        import jax
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        # cache even fast compiles: CLI processes are short-lived
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          0.5)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f'compilation cache disabled: {e}')
 
 
 def copy_opt_file(opt_file, experiments_root):

@@ -97,3 +97,38 @@ def test_scandir(tmp_path):
     assert sorted(scandir(str(tmp_path), suffix='.png',
                           recursive=True)) == ['a.png',
                                                os.path.join('sub', 'c.png')]
+
+
+def test_compilation_cache_strictly_opt_in(tmp_path, monkeypatch):
+    """The persistent XLA compilation cache must stay OFF unless asked
+    for (on remote-compile runtimes it can hang compiles)."""
+    import jax
+    opt_yaml = {'name': 'cc', 'model_type': 'SRModel', 'scale': 4,
+                'num_gpu': 1, 'manual_seed': 0, 'datasets': {},
+                'path': {}}
+    opt_file = tmp_path / 'opt.yml'
+    opt_file.write_text(yaml.dump(opt_yaml))
+    monkeypatch.delenv('MREFSR_XLA_CACHE_DIR', raising=False)
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update('jax_compilation_cache_dir', None)
+        parse_options(str(tmp_path), is_train=False,
+                      args=['-opt', str(opt_file)])
+        assert jax.config.jax_compilation_cache_dir is None
+
+        opt_yaml['compilation_cache'] = True
+        opt_file.write_text(yaml.dump(opt_yaml))
+        parse_options(str(tmp_path), is_train=False,
+                      args=['-opt', str(opt_file)])
+        assert jax.config.jax_compilation_cache_dir == str(
+            tmp_path / 'experiments' / '.xla_cache')
+
+        jax.config.update('jax_compilation_cache_dir', None)
+        del opt_yaml['compilation_cache']
+        opt_file.write_text(yaml.dump(opt_yaml))
+        monkeypatch.setenv('MREFSR_XLA_CACHE_DIR', str(tmp_path / 'xc'))
+        parse_options(str(tmp_path), is_train=False,
+                      args=['-opt', str(opt_file)])
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / 'xc')
+    finally:
+        jax.config.update('jax_compilation_cache_dir', old)
