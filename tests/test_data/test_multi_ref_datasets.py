@@ -1,0 +1,160 @@
+"""Unit tests for the flagship LMR/CUFED5 dataset classes, the
+EnlargedSampler, and the shared transforms — coverage the reference
+ships none of (SURVEY §4: MRefSR datasets untested upstream)."""
+import os.path as osp
+
+import cv2
+import numpy as np
+import pytest
+
+from mrefsr_tpu.data import build_dataset
+from mrefsr_tpu.data.data_sampler import EnlargedSampler
+from mrefsr_tpu.data.transforms import augment, mod_crop, \
+    paired_random_crop
+
+
+@pytest.fixture
+def lmr_root(tmp_path):
+    """One LMR scene: target + 5 refs with match points, CSV annotation
+    in the reference's column layout (multi_ref_dataset.py:46-66)."""
+    scene = tmp_path / 'scenes' / '0001'
+    scene.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    names = ['t.png', 'h.png', 'm1.png', 'm2.png', 'l1.png', 'l2.png']
+    for n in names:
+        img = rng.randint(0, 255, (80, 96, 3), dtype=np.uint8)
+        cv2.imwrite(str(scene / n), img)
+    csv = tmp_path / 'ann.csv'
+    pts = '"[48, 40]"'  # (x, y) center with room for a 32-crop
+    csv.write_text(
+        'target,h,m1,m2,l1,l2,p0,p1,p2,p3,p4,p5,scene\n'
+        f't.png,h.png,m1.png,m2.png,l1.png,l2.png,'
+        f'{pts},{pts},{pts},{pts},{pts},{pts},0001\n')
+    return str(tmp_path / 'scenes'), str(csv)
+
+
+def test_multi_ref_megadepth_dataset(lmr_root):
+    root, ann = lmr_root
+    opt = {'name': 'lmr', 'type': 'MultiRefMegaDepthDataset',
+           'phase': 'train', 'scale': 4, 'gt_size': 32,
+           'dataroot_in': root, 'dataroot_ref': root, 'ann_file': ann,
+           'use_flip': False, 'use_rot': False}
+    ds = build_dataset(opt)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item['img_in'].shape == (32, 32, 3)
+    assert item['img_in_lq'].shape == (8, 8, 3)
+    assert item['img_in_up'].shape == (32, 32, 3)
+    assert item['img_ref_list'].shape == (5, 32, 32, 3)
+    assert item['img_ref_lq_list'].shape == (5, 8, 8, 3)
+    assert item['img_ref_up_list'].shape == (5, 32, 32, 3)
+    assert item['img_in'].dtype == np.float32
+    assert 0.0 <= item['img_in'].min() and item['img_in'].max() <= 1.0
+
+    # crop is centered on the annotated (x=48, y=40) match point
+    from PIL import Image
+    target = np.array(
+        Image.open(osp.join(root, '0001', 't.png')).convert(
+            'RGB')).astype(np.float32) / 255.
+    np.testing.assert_array_equal(item['img_in'],
+                                  target[40 - 16:40 + 16, 48 - 16:48 + 16])
+
+    # the 5 refs are the annotated crops, in shuffled order
+    ref_imgs = set()
+    for n in ('h.png', 'm1.png', 'm2.png', 'l1.png', 'l2.png'):
+        img = np.array(Image.open(osp.join(root, '0001', n)).convert(
+            'RGB')).astype(np.float32) / 255.
+        ref_imgs.add(img[40 - 16:40 + 16, 48 - 16:48 + 16].tobytes())
+    got = {item['img_ref_list'][i].tobytes() for i in range(5)}
+    assert got == ref_imgs
+
+
+@pytest.fixture
+def cufed_root(tmp_path):
+    rng = np.random.RandomState(1)
+    for g in range(2):
+        # input deliberately NOT a multiple of scale -> mod_crop path
+        img = rng.randint(0, 255, (122, 87, 3), dtype=np.uint8)
+        cv2.imwrite(str(tmp_path / f'{g:03d}_0.png'), img)
+        for r in range(1, 6):
+            ref = rng.randint(0, 255, (140, 150, 3), dtype=np.uint8)
+            cv2.imwrite(str(tmp_path / f'{g:03d}_{r}.png'), ref)
+    return str(tmp_path)
+
+
+def test_multi_ref_cufed_set(cufed_root):
+    opt = {'name': 'cufed5', 'type': 'MultiRefCUFEDSet', 'phase': 'val',
+           'scale': 4, 'dataroot_in': cufed_root,
+           'dataroot_ref': cufed_root}
+    ds = build_dataset(opt)
+    assert len(ds) == 2
+    item = ds[0]
+    # mod-crop of 122x87 at x4 -> 120x84, then padded to the static
+    # 500x500 canvas with the original size carried for un-padding
+    assert item['original_size'] == (120, 84)
+    assert item['padding'] is True
+    assert item['img_in'].shape == (120, 84, 3)          # unpadded gt
+    assert item['img_in_lq'].shape == (125, 125, 3)      # 500/4
+    assert item['img_in_up'].shape == (500, 500, 3)
+    assert item['img_ref_list'].shape == (5, 500, 500, 3)
+    # pad region is zeros
+    assert item['img_in_up'][:, 490:].max() == 0
+    # BGR file -> RGB tensor: compare channel-reversed pixels
+    raw = cv2.imread(osp.join(cufed_root, '000_0.png'))[:120, :84]
+    np.testing.assert_allclose(item['img_in'],
+                               raw[..., ::-1].astype(np.float32) / 255.)
+
+
+def test_enlarged_sampler_sharding_and_epoch_seed():
+    ds = list(range(10))
+    s0 = EnlargedSampler(ds, num_replicas=2, rank=0, ratio=2)
+    s1 = EnlargedSampler(ds, num_replicas=2, rank=1, ratio=2)
+    assert len(s0) == len(s1) == 10  # 10 * 2 / 2
+
+    s0.set_epoch(3)
+    s1.set_epoch(3)
+    i0, i1 = list(s0), list(s1)
+    # ranks take strided disjoint positions of the same permutation
+    assert len(i0) == len(i1) == 10
+    assert all(0 <= v < 10 for v in i0 + i1)
+    # every dataset index appears across the union (enlarge ratio 2
+    # maps the doubled index space back onto the dataset)
+    assert set(i0) | set(i1) == set(range(10))
+
+    # deterministic per epoch, different across epochs
+    s0.set_epoch(3)
+    assert list(s0) == i0
+    s0.set_epoch(4)
+    assert list(s0) != i0
+
+
+def test_paired_random_crop_alignment():
+    rng = np.random.RandomState(2)
+    gt = rng.rand(40, 48, 3).astype(np.float32)
+    lq = gt[::4, ::4]  # exact decimation so alignment is checkable
+    gt_c, lq_c = paired_random_crop(gt, lq, gt_patch_size=16, scale=4)
+    assert gt_c.shape == (16, 16, 3)
+    assert lq_c.shape == (4, 4, 3)
+    np.testing.assert_array_equal(gt_c[::4, ::4], lq_c)
+
+
+def test_augment_flip_rot():
+    import random as pyrandom
+    img = np.arange(24, dtype=np.float32).reshape(2, 4, 3)
+    pyrandom.seed(0)
+    out, status = augment([img], hflip=True, rotation=True,
+                          return_status=True)  # 1-list unwraps
+    hflip, vflip, rot90 = status
+    want = img
+    if hflip:
+        want = want[:, ::-1]
+    if vflip:
+        want = want[::-1]
+    if rot90:
+        want = want.transpose(1, 0, 2)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_mod_crop():
+    img = np.zeros((11, 14, 3))
+    assert mod_crop(img, 4).shape == (8, 12, 3)
