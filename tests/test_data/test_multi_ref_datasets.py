@@ -158,3 +158,43 @@ def test_augment_flip_rot():
 def test_mod_crop():
     img = np.zeros((11, 14, 3))
     assert mod_crop(img, 4).shape == (8, 12, 3)
+
+
+def test_single_image_dataset(tmp_path):
+    rng = np.random.RandomState(6)
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / f'{i}.png'),
+                    rng.randint(0, 255, (20, 24, 3), dtype=np.uint8))
+    ds = build_dataset({'name': 's', 'type': 'SingleImageDataset',
+                        'phase': 'test', 'scale': 1,
+                        'dataroot_lq': str(tmp_path),
+                        'io_backend': {'type': 'disk'}})
+    assert len(ds) == 3
+    item = ds[0]
+    assert item['lq'].shape == (20, 24, 3)
+    assert item['lq_path'].endswith('0.png')
+
+
+def test_vimeo90k_dataset(tmp_path):
+    rng = np.random.RandomState(7)
+    for root, size in (('gt', (64, 112)), ('lq', (16, 28))):
+        seq = tmp_path / root / '00001' / '0266'
+        seq.mkdir(parents=True)
+        for f in range(1, 8):
+            cv2.imwrite(str(seq / f'im{f}.png'),
+                        rng.randint(0, 255, (*size, 3), dtype=np.uint8))
+    meta = tmp_path / 'meta.txt'
+    meta.write_text('00001/0266 (64,112,3)\n')
+    ds = build_dataset({
+        'name': 'v', 'type': 'Vimeo90KDataset', 'phase': 'train',
+        'scale': 4, 'gt_size': 32, 'num_frame': 7,
+        'dataroot_gt': str(tmp_path / 'gt'),
+        'dataroot_lq': str(tmp_path / 'lq'),
+        'meta_info_file': str(meta), 'io_backend': {'type': 'disk'},
+        'use_hflip': False, 'use_rot': False, 'random_reverse': False})
+    assert len(ds) == 1
+    item = ds[0]
+    # GT is the center frame (im4), LQ the full septuplet
+    assert item['gt'].shape == (32, 32, 3)
+    assert item['lq'].shape == (7, 8, 8, 3)
+    assert item['key'] == '00001/0266'
