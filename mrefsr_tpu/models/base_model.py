@@ -120,9 +120,17 @@ class BaseModel:
         if optim_type == 'Adam':
             betas = kwargs.pop('betas', (0.9, 0.999))
             wd = kwargs.pop('weight_decay', 0)
-            tx = optax.adamw(lr_fn, b1=betas[0], b2=betas[1],
-                             weight_decay=wd) if wd else optax.adam(
-                lr_fn, b1=betas[0], b2=betas[1])
+            if wd:
+                # torch.optim.Adam applies COUPLED L2 (decay added to
+                # the gradient before the adaptive normalization), not
+                # adamw's decoupled decay — match the reference's
+                # trajectory exactly
+                tx = optax.chain(
+                    optax.add_decayed_weights(wd),
+                    optax.scale_by_adam(b1=betas[0], b2=betas[1]),
+                    optax.scale_by_learning_rate(lr_fn))
+            else:
+                tx = optax.adam(lr_fn, b1=betas[0], b2=betas[1])
         elif optim_type == 'AdamW':
             betas = kwargs.pop('betas', (0.9, 0.999))
             wd = kwargs.pop('weight_decay', 1e-2)
@@ -141,7 +149,12 @@ class BaseModel:
         train_opt = self.opt['train']
         warmup_iter = train_opt.get('warmup_iter', -1)
         scheduler_opt = train_opt.get('scheduler')
-        self.schedule_fn = build_schedule(scheduler_opt, warmup_iter)
+        # the primary group's base lr, for the cosine schedule's
+        # ABSOLUTE eta_min floor (multiplier = eta_min / base_lr)
+        base_lr = (train_opt.get('optim_g') or {}).get('lr') \
+            or train_opt.get('lr_g') or 1.0
+        self.schedule_fn = build_schedule(scheduler_opt, warmup_iter,
+                                          base_lr=base_lr)
         return self.schedule_fn
 
     def update_learning_rate(self, current_iter, warmup_iter=-1):
@@ -279,6 +292,74 @@ class BaseModel:
         raise NotImplementedError
 
     # -------------------------------------------------------------- logging
+    def _merge_loaded(self, init_vars, loaded_vars, strict=False):
+        """Overlay loaded arrays onto the initialized structure
+        (reference _print_different_keys_loading, base_model.py:245-278).
+        strict=False logs missing/unexpected/size-mismatched keys and
+        keeps the initialized values; strict=True raises on any of them
+        (torch load_state_dict(strict=True) semantics)."""
+        import jax.numpy as jnp
+        logger = get_root_logger()
+        problems = []
+
+        def report(msg):
+            problems.append(msg)
+            if not strict:
+                logger.warning(msg)
+
+        def merge(init_node, loaded_node, path=''):
+            if not isinstance(init_node, dict):
+                if loaded_node is None:
+                    report(f'missing key in checkpoint: {path}')
+                    return init_node
+                if hasattr(loaded_node, 'shape') and \
+                        tuple(loaded_node.shape) != tuple(init_node.shape):
+                    report(f'Size different for {path}: ckpt '
+                           f'{loaded_node.shape} vs model '
+                           f'{init_node.shape}; ignored.')
+                    return init_node
+                return jnp.asarray(loaded_node)
+            out = {}
+            for k, v in init_node.items():
+                lv = loaded_node.get(k) if isinstance(loaded_node, dict) \
+                    else None
+                out[k] = merge(v, lv, f'{path}.{k}' if path else k)
+            if isinstance(loaded_node, dict):
+                for k in loaded_node:
+                    if k not in init_node:
+                        report(f'unexpected ckpt key: '
+                               f'{path}.{k}' if path else k)
+            return out
+
+        merged = merge(init_vars, loaded_vars)
+        if strict and problems:
+            raise ValueError(
+                'Checkpoint does not match the network (strict load): '
+                + '; '.join(problems[:20])
+                + (f'; ... {len(problems) - 20} more'
+                   if len(problems) > 20 else ''))
+        return merged
+
+    def _load_vgg_variables(self, vgg_module):
+        """VGG weights for perceptual/texture losses: from
+        path.vgg_pretrain_path (torchvision-layout .pth) if given, else
+        random init (tests). Shared by the SRModel family and the
+        Ref/MultiRef models' legacy perceptual losses."""
+        import jax
+        import jax.numpy as jnp
+        from mrefsr_tpu.archs.vgg_arch import vgg_rename
+        path = self.opt['path'].get('vgg_pretrain_path')
+        if path:
+            from mrefsr_tpu.convert import load_torch_state_dict, \
+                torch_to_flax
+            sd = load_torch_state_dict(path, param_key=None)
+            variables = torch_to_flax(sd,
+                                      rename=vgg_rename(
+                                          vgg_module.vgg_type))
+            return jax.tree_util.tree_map(jnp.asarray, variables)
+        dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        return vgg_module.init(jax.random.PRNGKey(0), dummy)
+
     def get_current_log(self):
         return self.log_dict
 

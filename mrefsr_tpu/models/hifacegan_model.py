@@ -78,12 +78,13 @@ class HiFaceGANModel(SRModel):
             self.vars_d = self.net_d.init(rng, cond)
             load_path = self.opt['path'].get('pretrain_network_d')
             if load_path:
+                strict_d = self.opt['path'].get('strict_load_d', True)
                 loaded = self.load_network(
-                    load_path,
-                    strict=self.opt['path'].get('strict_load_d', True),
+                    load_path, strict=strict_d,
                     param_key=self.opt['path'].get('param_key_d',
                                                    'params'))
-                self.vars_d = self._merge_loaded(self.vars_d, loaded)
+                self.vars_d = self._merge_loaded(self.vars_d, loaded,
+                                                 strict=strict_d)
             self.vars_d = replicate(self.vars_d, self.mesh)
             self.opt_state_d = self.tx_d.init(self.vars_d['params'])
 
@@ -173,8 +174,14 @@ class HiFaceGANModel(SRModel):
                 aux = {'l_g_gan': jnp.zeros(())}
                 if cri_pix is not None:
                     aux['l_g_pix'] = jnp.zeros(())
-                if cri_perceptual is not None:
+                # mirror g_loss_fn's static key set: the criterion
+                # returns None (no aux key) for zero-weight terms, and
+                # lax.cond requires identical branch pytrees
+                if cri_perceptual is not None \
+                        and cri_perceptual.perceptual_weight > 0:
                     aux['l_g_percep'] = jnp.zeros(())
+                if cri_perceptual is not None \
+                        and cri_perceptual.style_weight > 0:
                     aux['l_g_style'] = jnp.zeros(())
                 if cri_feat is not None:
                     aux['l_g_feat'] = jnp.zeros(())

@@ -95,10 +95,13 @@ def with_warmup(schedule, warmup_iter=-1):
     return warmed
 
 
-def build_schedule(scheduler_opt, warmup_iter=-1):
+def build_schedule(scheduler_opt, warmup_iter=-1, base_lr=1.0):
     """Build a step->multiplier function from the YAML ``scheduler:``
     block (type: MultiStepLR | MultiStepRestartLR |
-    CosineAnnealingRestartLR)."""
+    CosineAnnealingRestartLR). ``base_lr`` is the primary group's base
+    learning rate — needed because the reference's cosine ``eta_min`` is
+    an ABSOLUTE floor (lr_scheduler.py:57-97), while these schedules
+    return multipliers."""
     opt = dict(scheduler_opt or {})
     stype = opt.pop('type', 'MultiStepLR')
     if stype in ('MultiStepLR', 'MultiStepRestartLR'):
@@ -114,7 +117,7 @@ def build_schedule(scheduler_opt, warmup_iter=-1):
     elif stype == 'CosineAnnealingRestartLR':
         sched = cosine_annealing_restart_lr(
             opt['periods'], opt.get('restart_weights', (1,)),
-            opt.get('eta_min', 0))
+            opt.get('eta_min', 0), base_lr=base_lr or 1.0)
     else:
         raise NotImplementedError(
             f'Scheduler {stype} is not implemented yet.')

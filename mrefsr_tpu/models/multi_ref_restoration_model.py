@@ -101,6 +101,18 @@ class MultiRefRestorationModel(BaseModel):
             logger.info('Remove style loss.')
             self.cri_style = None
 
+        # VGG towers for the legacy perceptual/style losses (the
+        # reference builds them inside the loss module at
+        # models/losses.py:141-240; here weights are explicit variables)
+        self.vgg_variables = None
+        self.vgg_style_variables = None
+        if self.cri_perceptual is not None:
+            self.vgg_variables = self._load_vgg_variables(
+                self.cri_perceptual.vgg)
+        if self.cri_style is not None:
+            self.vgg_style_variables = self._load_vgg_variables(
+                self.cri_style.vgg)
+
         if train_opt.get('gan_type'):
             self.cri_gan = legacy_losses.GANLoss(
                 train_opt['gan_type'], real_label_val=1.0,
@@ -137,8 +149,12 @@ class MultiRefRestorationModel(BaseModel):
         def adam(lr):
             fn = lambda step: lr * self.schedule_fn(step)  # noqa: E731
             if wd:
-                return optax.adamw(fn, b1=betas[0], b2=betas[1],
-                                   weight_decay=wd)
+                # coupled L2 like torch.optim.Adam (decay enters the
+                # gradient before the adaptive normalization)
+                return optax.chain(
+                    optax.add_decayed_weights(wd),
+                    optax.scale_by_adam(b1=betas[0], b2=betas[1]),
+                    optax.scale_by_learning_rate(fn))
             return optax.adam(fn, b1=betas[0], b2=betas[1])
 
         transforms = {
@@ -258,9 +274,8 @@ class MultiRefRestorationModel(BaseModel):
             if self._resume_trees:
                 self._restore_trees()
 
-    def _merge(self, init_vars, loaded_vars):
-        from .sr_model import SRModel
-        return SRModel._merge_loaded(self, init_vars, loaded_vars)
+    def _merge(self, init_vars, loaded_vars, strict=False):
+        return self._merge_loaded(init_vars, loaded_vars, strict=strict)
 
     # ---------------------------------------------------------- forward fns
     def _run_map(self, d1, d2, refs, vars_map=None):
@@ -451,9 +466,15 @@ class MultiRefRestorationModel(BaseModel):
         cri_grad_penalty = self.cri_grad_penalty
         tx_g, tx_d = self.tx_g, self.tx_d
         net_d_apply = self.net_d.apply
-        vgg_vars = getattr(self, 'vgg_variables', None)
+        vgg_vars = self.vgg_variables
+        vgg_style_vars = self.vgg_style_variables
         cri_perceptual = self.cri_perceptual
         cri_style = self.cri_style
+        # which loss terms exist is static config; both lax.cond
+        # branches must emit the same aux pytree
+        has_percep = (cri_perceptual is not None
+                      and cri_perceptual.perceptual_weight > 0)
+        has_style = (cri_style is not None and cri_style.style_weight > 0)
 
         def step(vars_g, vars_d, opt_g, opt_d, vars_ex, vars_map,
                  match_img_in, refs, lq, gt, rng, g_turn):
@@ -498,12 +519,12 @@ class MultiRefRestorationModel(BaseModel):
                     l_g_pix = cri_pix(out, gt)
                     total += l_g_pix
                     aux['l_g_pix'] = l_g_pix
-                if cri_perceptual is not None:
+                if has_percep:
                     l_p, _ = cri_perceptual(out, gt, vgg_vars)
                     total += l_p
                     aux['l_g_percep'] = l_p
-                if cri_style is not None:
-                    _, l_s = cri_style(out, gt, vgg_vars)
+                if has_style:
+                    _, l_s = cri_style(out, gt, vgg_style_vars)
                     total += l_s
                     aux['l_g_style'] = l_s
                 fake_g_pred = net_d_apply(vars_d, out)
@@ -522,11 +543,12 @@ class MultiRefRestorationModel(BaseModel):
                 return params_g, new_opt_g, g_aux
 
             def skip_g(_):
-                zero_aux = {k: jnp.zeros(()) for k in
-                            ('l_g_pix', 'l_g_gan')}
-                if cri_perceptual is not None:
+                zero_aux = {'l_g_gan': jnp.zeros(())}
+                if cri_pix is not None:
+                    zero_aux['l_g_pix'] = jnp.zeros(())
+                if has_percep:
                     zero_aux['l_g_percep'] = jnp.zeros(())
-                if cri_style is not None:
+                if has_style:
                     zero_aux['l_g_style'] = jnp.zeros(())
                 return vars_g['params'], opt_g, zero_aux
 

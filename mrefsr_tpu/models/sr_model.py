@@ -78,23 +78,6 @@ class SRModel(BaseModel):
         self.setup_schedulers()
         self.setup_optimizers()
 
-    def _load_vgg_variables(self, vgg_module):
-        """VGG weights for perceptual losses: from
-        path.vgg_pretrain_path (torchvision-layout .pth) if given, else
-        random init (tests)."""
-        from mrefsr_tpu.archs.vgg_arch import vgg_rename
-        path = self.opt['path'].get('vgg_pretrain_path')
-        if path:
-            from mrefsr_tpu.convert import load_torch_state_dict, \
-                torch_to_flax
-            sd = load_torch_state_dict(path, param_key=None)
-            variables = torch_to_flax(sd,
-                                      rename=vgg_rename(
-                                          vgg_module.vgg_type))
-            return jax.tree_util.tree_map(jnp.asarray, variables)
-        dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
-        return vgg_module.init(jax.random.PRNGKey(0), dummy)
-
     def setup_optimizers(self):
         train_opt = self.opt['train']
         optim_opt = dict(train_opt['optim_g'])
@@ -111,11 +94,12 @@ class SRModel(BaseModel):
         rng = jax.random.PRNGKey(self.opt.get('manual_seed') or 0)
         self.variables = self.net_g.init(rng, jnp.asarray(example_lq[:1]))
         if self._pretrain_path is not None:
+            strict_g = self.opt['path'].get('strict_load_g', True)
             loaded = self.load_network(self._pretrain_path,
-                                       strict=self.opt['path'].get(
-                                           'strict_load_g', True),
+                                       strict=strict_g,
                                        param_key=self._param_key_g)
-            self.variables = self._merge_loaded(self.variables, loaded)
+            self.variables = self._merge_loaded(self.variables, loaded,
+                                                strict=strict_g)
         self.variables = replicate(self.variables, self.mesh)
         if self.is_train:
             if self.ema_decay > 0:
@@ -140,39 +124,6 @@ class SRModel(BaseModel):
                     self._restore_trees()
 
     _resume_trees = None
-
-    def _merge_loaded(self, init_vars, loaded_vars):
-        """Overlay loaded arrays onto the initialized structure, skipping
-        size mismatches with a warning (reference
-        _print_different_keys_loading, base_model.py:245-278)."""
-        logger = get_root_logger()
-
-        def merge(init_node, loaded_node, path=''):
-            if not isinstance(init_node, dict):
-                if loaded_node is None:
-                    logger.warning(f'missing key in checkpoint: {path}')
-                    return init_node
-                if hasattr(loaded_node, 'shape') and \
-                        tuple(loaded_node.shape) != tuple(init_node.shape):
-                    logger.warning(
-                        f'Size different for {path}: ckpt '
-                        f'{loaded_node.shape} vs model {init_node.shape}; '
-                        'ignored.')
-                    return init_node
-                return jnp.asarray(loaded_node)
-            out = {}
-            for k, v in init_node.items():
-                lv = loaded_node.get(k) if isinstance(loaded_node, dict) \
-                    else None
-                out[k] = merge(v, lv, f'{path}.{k}' if path else k)
-            if isinstance(loaded_node, dict):
-                for k in loaded_node:
-                    if k not in init_node:
-                        logger.warning(f'unexpected ckpt key: '
-                                       f'{path}.{k}' if path else k)
-            return out
-
-        return merge(init_vars, loaded_vars)
 
     def _freeze_grads(self, grads, step_idx):
         """Apply the freeze schedule inside a jitted step (trace-safe)."""
@@ -309,8 +260,12 @@ class SRModel(BaseModel):
 
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(self.mesh, P(None, 'data'))
-        lq = jax.device_put(np.stack(lqs), sh)
-        gt = jax.device_put(np.stack(gts), sh)
+        # RealESRNet-style feed_data synthesizes lq/gt ON DEVICE —
+        # np.stack would round-trip every batch through the host; stack
+        # device arrays with jnp instead
+        stack = jnp.stack if isinstance(lqs[0], jax.Array) else np.stack
+        lq = jax.device_put(stack(lqs), sh)
+        gt = jax.device_put(stack(gts), sh)
 
         if getattr(self, '_train_step_wave', None) is None:
             raw = self._train_step_raw

@@ -82,12 +82,13 @@ class SRGANModel(SRModel):
             self.vars_d = self.net_d.init(rng, gt_example)
             load_path = self.opt['path'].get('pretrain_network_d')
             if load_path:
+                strict_d = self.opt['path'].get('strict_load_d', True)
                 loaded = self.load_network(
-                    load_path,
-                    strict=self.opt['path'].get('strict_load_d', True),
+                    load_path, strict=strict_d,
                     param_key=self.opt['path'].get('param_key_d',
                                                    'params'))
-                self.vars_d = self._merge_loaded(self.vars_d, loaded)
+                self.vars_d = self._merge_loaded(self.vars_d, loaded,
+                                                 strict=strict_d)
             self.vars_d = replicate(self.vars_d, self.mesh)
             self.opt_state_d = self.tx_d.init(self.vars_d['params'])
 
@@ -118,10 +119,17 @@ class SRGANModel(SRModel):
                 if x.ndim == 5 else x)
         # per-loss GT routing for RealESRGAN's USM'd targets (reference
         # realesrgan_model.py:196-204); plain SRGAN passes gt three times
+        # which aux keys the perceptual criterion emits is static config
+        # (losses.py returns None for a zero-weight term) — skip_g must
+        # mirror it exactly or lax.cond rejects the branch pytrees
+        has_percep = (cri_perceptual is not None
+                      and cri_perceptual.perceptual_weight > 0)
+        has_style = (cri_perceptual is not None
+                     and cri_perceptual.style_weight > 0)
+
         def step(vars_g, opt_g, ema, vars_d, opt_d, vgg_variables, lq,
                  gt_pix, gt_percep, gt_gan, gt_ldl, g_turn, step_idx):
             losses = OrderedDict()
-            output = net_g_apply({'params': vars_g['params']}, lq)
 
             # ---- generator (reference srgan_model.py:95-127 /
             # esrgan relativistic :13-48), gated on g_turn
@@ -168,8 +176,11 @@ class SRGANModel(SRModel):
                     l_g_gan = cri_gan(fake_g_pred, True, is_disc=False)
                 total += l_g_gan
                 aux['l_g_gan'] = l_g_gan
+                # carry the pre-update output for the D step (reference
+                # trains D on self.output.detach(), computed BEFORE
+                # optimizer_g.step(); srgan_model.py:95,129-146)
+                aux['_out'] = out
                 return total, aux
-
 
             def do_g(_):
                 (_, aux), grads = jax.value_and_grad(
@@ -186,17 +197,19 @@ class SRGANModel(SRModel):
                     aux['l_g_pix'] = jnp.zeros(())
                 if cri_ldl is not None:
                     aux['l_g_ldl'] = jnp.zeros(())
-                if cri_perceptual is not None:
+                if has_percep:
                     aux['l_g_percep'] = jnp.zeros(())
+                if has_style:
                     aux['l_g_style'] = jnp.zeros(())
+                aux['_out'] = net_g_apply({'params': vars_g['params']},
+                                          lq)
                 return vars_g['params'], opt_g, aux
 
             params_g, opt_g, g_aux = jax.lax.cond(g_turn, do_g, skip_g,
                                                   None)
             vars_g = dict(vars_g, params=params_g)
+            output_sg = jax.lax.stop_gradient(g_aux.pop('_out'))
             losses.update(g_aux)
-            output = net_g_apply({'params': params_g}, lq)
-            output_sg = jax.lax.stop_gradient(output)
 
             # ---- discriminator (reference srgan_model.py:129-146)
             def d_loss_fn(params_d):

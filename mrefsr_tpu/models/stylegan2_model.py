@@ -32,8 +32,6 @@ from .sr_model import SRModel
 class StyleGAN2Model(BaseModel):
     """StyleGAN2 model."""
 
-    _merge_loaded = SRModel._merge_loaded
-
     def __init__(self, opt):
         super().__init__(opt)
         self.net_g = build_network(opt['network_g'])
@@ -96,11 +94,12 @@ class StyleGAN2Model(BaseModel):
             {'params': rng, 'noise': rng}, [style])
         load_path = self.opt['path'].get('pretrain_network_g')
         if load_path:
+            strict_g = self.opt['path'].get('strict_load_g', True)
             loaded = self.load_network(
-                load_path,
-                strict=self.opt['path'].get('strict_load_g', True),
+                load_path, strict=strict_g,
                 param_key=self.opt['path'].get('param_key_g', 'params'))
-            self.variables = self._merge_loaded(self.variables, loaded)
+            self.variables = self._merge_loaded(self.variables, loaded,
+                                                strict=strict_g)
         self.variables = replicate(self.variables, self.mesh)
         if not self.is_train:
             self.ema_variables = self.variables
@@ -121,11 +120,12 @@ class StyleGAN2Model(BaseModel):
         self.vars_d = self.net_d.init(jax.random.PRNGKey(1), img)
         load_path = self.opt['path'].get('pretrain_network_d')
         if load_path:
+            strict_d = self.opt['path'].get('strict_load_d', True)
             loaded = self.load_network(
-                load_path,
-                strict=self.opt['path'].get('strict_load_d', True),
+                load_path, strict=strict_d,
                 param_key=self.opt['path'].get('param_key_d', 'params'))
-            self.vars_d = self._merge_loaded(self.vars_d, loaded)
+            self.vars_d = self._merge_loaded(self.vars_d, loaded,
+                                             strict=strict_d)
         self.vars_d = replicate(self.vars_d, self.mesh)
         self.opt_state = self.tx.init(self.variables['params'])
         self.opt_state_d = self.tx_d.init(self.vars_d['params'])
@@ -273,6 +273,9 @@ class StyleGAN2Model(BaseModel):
 
     # ----------------------------------------------------------------- val
     def test(self):
+        # test.py calls validation without feed_data (sampling needs no
+        # input batch), so build/load the nets here if needed
+        self._ensure_initialized()
         variables = self.ema_variables or self.variables
         self.output, _ = self.net_g.apply(
             {'params': variables['params']},

@@ -71,3 +71,63 @@ def test_swinir_model_padded_test():
     model.feed_data({'lq': lq})
     model.test()
     assert np.asarray(model.output).shape == (1, 40, 56, 3)
+
+
+def test_gan_model_perceptual_zero_style_weight():
+    """Regression: with perceptual_opt at style_weight=0 (the standard
+    ESRGAN setup) the skip_g branch must emit the same aux pytree as
+    the g branch, or lax.cond rejects the trace."""
+    opt = make_opt('SRGANModel')
+    opt['train']['perceptual_opt'] = {
+        'type': 'PerceptualLoss',
+        'layer_weights': {'conv5_4': 1.0},
+        'vgg_type': 'vgg19', 'use_input_norm': True, 'range_norm': False,
+        'perceptual_weight': 1.0, 'style_weight': 0.0,
+        'criterion': 'l1'}
+    # net_d_init_iters=1 forces a skipped-G step (iter 1) AND a g step
+    opt['train']['net_d_init_iters'] = 1
+    model = build_model(opt)
+    rng = np.random.RandomState(1)
+    batch = {'lq': rng.rand(1, 8, 8, 3).astype(np.float32),
+             'gt': rng.rand(1, 32, 32, 3).astype(np.float32)}
+    model.feed_data(batch)
+    model.optimize_parameters(1)   # g skipped
+    assert model.log_dict['l_g_percep'] == 0.0
+    assert 'l_g_style' not in model.log_dict
+    model.optimize_parameters(2)   # g runs
+    assert np.isfinite(model.log_dict['l_g_percep'])
+    assert model.log_dict['l_g_percep'] != 0.0
+
+
+def test_gan_d_trains_on_pre_update_generator_output():
+    """Regression: the reference computes self.output BEFORE
+    optimizer_g.step() and trains D on its detached value
+    (srgan_model.py:95,129-146); the D step must not re-run the
+    updated generator."""
+    import jax.numpy as jnp
+    opt = make_opt('SRGANModel')
+    model = build_model(opt)
+    rng = np.random.RandomState(2)
+    batch = {'lq': rng.rand(1, 8, 8, 3).astype(np.float32),
+             'gt': rng.rand(1, 32, 32, 3).astype(np.float32)}
+    import jax
+    model.feed_data(batch)
+    pre_update_out = np.asarray(model.net_g.apply(
+        {'params': model.variables['params']}, jnp.asarray(batch['lq'])))
+    # deep-copy D vars before the step (the jitted step donates them)
+    vars_d_before = jax.tree_util.tree_map(np.asarray, model.vars_d)
+    model.optimize_parameters(1)
+    post_update_out = np.asarray(model.net_g.apply(
+        {'params': model.variables['params']}, jnp.asarray(batch['lq'])))
+    # sanity: the update actually changed the generator
+    assert not np.allclose(pre_update_out, post_update_out)
+    # the logged out_d_fake must equal D(pre-update output), not
+    # D(post-update output)
+    fake_pre = float(model.net_d.apply(
+        jax.tree_util.tree_map(jnp.asarray, vars_d_before),
+        jnp.asarray(pre_update_out)).mean())
+    fake_post = float(model.net_d.apply(
+        jax.tree_util.tree_map(jnp.asarray, vars_d_before),
+        jnp.asarray(post_update_out)).mean())
+    assert abs(model.log_dict['out_d_fake'] - fake_pre) < 1e-4
+    assert abs(fake_pre - fake_post) > 1e-7  # the two are distinguishable

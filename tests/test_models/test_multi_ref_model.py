@@ -170,3 +170,32 @@ def test_wave_falls_back_across_gan_boundary():
     model.optimize_parameters_wave(batches, 1)  # iters 1-4, crosses 2
     assert 'l_d_real' in model.log_dict  # GAN phase actually ran
     assert np.isfinite(model.log_dict['l_d_real'])
+
+
+@pytest.mark.slow
+def test_multi_ref_gan_phase_with_perceptual_and_style():
+    """Regression: the GAN step's legacy perceptual/style losses need
+    their VGG towers initialized (vgg_variables was never set on this
+    model), and skip_g must mirror g's aux keys exactly."""
+    opt = make_opt(multi=True, gan=True)
+    opt['train']['perceptual_opt'] = {
+        'layer_weights': {'relu1_1': 1.0}, 'vgg_type': 'vgg19',
+        'perceptual_weight': 1e-2, 'style_weight': 0.,
+        'norm_img': False, 'criterion': 'l1'}
+    opt['train']['style_opt'] = {
+        'layer_weights': {'relu1_1': 1.0}, 'vgg_type': 'vgg19',
+        'perceptual_weight': 0., 'style_weight': 1e-2,
+        'norm_img': False, 'criterion': 'l1'}
+    opt['train']['net_d_init_steps'] = 1  # step 3 skips G, step 4 runs
+    model = build_model(opt)
+    assert model.vgg_variables is not None
+    assert model.vgg_style_variables is not None
+    rng = np.random.RandomState(3)
+    batch = make_batch(rng, b=1, t=5, gt=32)
+    model.feed_data(batch)
+    for it in range(1, 5):  # 2 pixel-pretrain steps then 2 GAN steps
+        model.optimize_parameters(it)
+    for key in ('l_g_percep', 'l_g_style', 'l_g_gan', 'l_d_real',
+                'l_grad_penalty'):
+        assert key in model.log_dict, key
+        assert np.isfinite(model.log_dict[key]), key

@@ -104,3 +104,28 @@ def test_stylegan2_model_trains(ffhq_root, tmp_path):
     ckpt = torch.load(osp.join(str(tmp_path), 'net_g_4.pth'),
                       map_location='cpu', weights_only=True)
     assert 'params' in ckpt and 'params_ema' in ckpt
+
+
+def test_stylegan2_test_mode_validation(tmp_path):
+    """Regression: test.py calls validation without any feed_data;
+    the model must build/load its nets on demand (variables were None
+    and test() crashed)."""
+    opt = {
+        'name': 'test_sg2_eval', 'model_type': 'StyleGAN2Model',
+        'scale': 1, 'num_gpu': 1, 'manual_seed': 0, 'is_train': False,
+        'dist': False, 'rank': 0, 'world_size': 1,
+        'network_g': {'type': 'StyleGAN2Generator', 'out_size': SIZE,
+                      'num_style_feat': 16, 'num_mlp': 2,
+                      'channel_multiplier': 1, 'narrow': 0.125},
+        'path': {'pretrain_network_g': None,
+                 'visualization': str(tmp_path)},
+        'val': {'num_val_samples': 2},
+    }
+    model = build_model(opt)
+    model.nondist_validation(None, current_iter=opt['name'],
+                             tb_logger=None, save_img=True)
+    out = np.asarray(model.output)
+    assert out.shape == (2, SIZE, SIZE, 3)
+    assert np.isfinite(out).all()
+    assert osp.exists(osp.join(str(tmp_path), 'test',
+                               'test_test_sg2_eval.png'))

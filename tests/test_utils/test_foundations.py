@@ -132,3 +132,47 @@ def test_compilation_cache_strictly_opt_in(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == str(tmp_path / 'xc')
     finally:
         jax.config.update('jax_compilation_cache_dir', old)
+
+
+def test_strict_load_raises_on_mismatch():
+    """Regression: strict checkpoint loading must raise on
+    missing/unexpected/size-mismatched keys (the strict flag used to be
+    accepted and ignored; torch load_state_dict(strict=True) parity)."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from mrefsr_tpu.models.base_model import BaseModel
+
+    model = BaseModel.__new__(BaseModel)  # _merge_loaded needs no state
+    init_vars = {'params': {'conv': {'kernel': jnp.zeros((3, 3, 2, 4)),
+                                     'bias': jnp.zeros((4,))}}}
+    # missing 'bias', unexpected 'extra', mismatched kernel shape
+    loaded = {'params': {'conv': {'kernel': jnp.zeros((1, 1, 2, 4)),
+                                  'extra': jnp.zeros((2,))}}}
+    with _pytest.raises(ValueError, match='strict'):
+        model._merge_loaded(init_vars, loaded, strict=True)
+    # non-strict keeps the init values and proceeds
+    merged = model._merge_loaded(init_vars, loaded, strict=False)
+    assert merged['params']['conv']['kernel'].shape == (3, 3, 2, 4)
+    # exact match loads under strict
+    ok = model._merge_loaded(
+        init_vars, {'params': {'conv': {
+            'kernel': jnp.ones((3, 3, 2, 4)),
+            'bias': jnp.ones((4,))}}}, strict=True)
+    assert float(ok['params']['conv']['bias'][0]) == 1.0
+
+
+def test_cosine_eta_min_is_absolute():
+    """Regression: the reference's CosineAnnealingRestartLR eta_min is
+    an absolute LR floor (lr_scheduler.py:57-97); as a multiplier
+    schedule it must divide by the base lr."""
+    from mrefsr_tpu.models.lr_scheduler import build_schedule
+    base_lr = 1e-4
+    sched = build_schedule({'type': 'CosineAnnealingRestartLR',
+                            'periods': [10], 'restart_weights': [1],
+                            'eta_min': 1e-7}, base_lr=base_lr)
+    # at the end of the period the lr must hit eta_min, not
+    # eta_min * base_lr
+    lr_end = base_lr * float(sched(10))
+    assert abs(lr_end - 1e-7) < 1e-12
+    lr_start = base_lr * float(sched(0))
+    assert abs(lr_start - base_lr) < 1e-12
