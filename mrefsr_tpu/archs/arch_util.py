@@ -58,8 +58,12 @@ class ResidualBlockNoBN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        init = (nn.initializers.lecun_normal() if self.pytorch_init
-                else default_init(0.1))
+        # pytorch_init=True means torch Conv2d's default
+        # kaiming_uniform(a=sqrt(5)) = variance 1/(3*fan_in) — NOT
+        # lecun (1/fan_in); matches DCNv2Pack's encoding below
+        init = (nn.initializers.variance_scaling(1 / 3, 'fan_in',
+                                                 'uniform')
+                if self.pytorch_init else default_init(0.1))
         identity = x
         out = nn.Conv(self.num_feat, (3, 3), padding=1, kernel_init=init,
                       name='conv1')(x)

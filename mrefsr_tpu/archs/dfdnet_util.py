@@ -82,46 +82,10 @@ class MSDilationBlock(nn.Module):
         return out + x
 
     def _dilated(self, x, dilation, pad, name):
-        return _SNConvDilated(self.in_channels, self.kernel_size, dilation,
-                              pad, name=name)(x)
-
-
-class _SNConvDilated(nn.Module):
-    """Spectral-normalized dilated conv (kernel_dilation support for
-    MSDilationBlock)."""
-    features: int
-    kernel_size: int
-    dilation: int
-    padding: int
-
-    @nn.compact
-    def __call__(self, x):
-        from .hifacegan_util import _l2norm
-        k = self.kernel_size
-        cin = x.shape[-1]
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
-                            (k, k, cin, self.features))
-        w_mat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(
-            self.features, -1)
-        u = self.variable('spectral', 'u',
-                          lambda: _l2norm(jax.random.normal(
-                              jax.random.PRNGKey(0), (self.features,))))
-        v = self.variable('spectral', 'v',
-                          lambda: _l2norm(jax.random.normal(
-                              jax.random.PRNGKey(1), (w_mat.shape[1],))))
-        if self.is_mutable_collection('spectral'):
-            v_new = _l2norm(w_mat.T @ u.value)
-            u_new = _l2norm(w_mat @ v_new)
-            u.value = jax.lax.stop_gradient(u_new)
-            v.value = jax.lax.stop_gradient(v_new)
-        sigma = u.value @ (w_mat @ v.value)
-        out = jax.lax.conv_general_dilated(
-            x, kernel / sigma, window_strides=(1, 1),
-            padding=[(self.padding, self.padding)] * 2,
-            rhs_dilation=(self.dilation, self.dilation),
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        return out + self.param('bias', nn.initializers.zeros,
-                                (self.features,))
+        from .hifacegan_util import SNConv
+        return SNConv(self.in_channels,
+                      (self.kernel_size, self.kernel_size), padding=pad,
+                      kernel_dilation=dilation, name=name)(x)
 
 
 class UpResBlock(nn.Module):

@@ -47,6 +47,7 @@ class SNConv(nn.Module):
     strides: int = 1
     padding: Any = 0
     use_bias: bool = True
+    kernel_dilation: int = 1  # rhs_dilation (DFDNet's MSDilationBlock)
 
     @nn.compact
     def __call__(self, x):
@@ -77,7 +78,9 @@ class SNConv(nn.Module):
             pad = [(pad, pad), (pad, pad)]
         out = jax.lax.conv_general_dilated(
             x, kernel_sn, window_strides=(self.strides, self.strides),
-            padding=pad, dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            padding=pad,
+            rhs_dilation=(self.kernel_dilation, self.kernel_dilation),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         if self.use_bias:
             out = out + self.param('bias', nn.initializers.zeros,
                                    (self.features,))

@@ -181,10 +181,10 @@ def paths_from_lmdb(folder):
 
 def generate_gaussian_kernel(kernel_size=13, sigma=1.6):
     """2-D gaussian kernel (reference data_util.py:306-321)."""
-    from scipy.ndimage import filters as filters
+    from scipy import ndimage
     kernel = np.zeros((kernel_size, kernel_size))
     kernel[kernel_size // 2, kernel_size // 2] = 1
-    return filters.gaussian_filter(kernel, sigma)
+    return ndimage.gaussian_filter(kernel, sigma)
 
 
 def duf_downsample(x, kernel_size=13, scale=4):
@@ -213,3 +213,26 @@ def duf_downsample(x, kernel_size=13, scale=4):
     if squeeze_flag:
         out = out[0]
     return out
+
+def lazy_file_client(io_backend_opt):
+    """Thread-safe FileClient construction: the reference pops 'type'
+    from the opt dict in-place (basicsr datasets), which is only safe
+    with process-based loader workers; our loader runs __getitem__ in
+    threads sharing the dataset object, so mutate a copy instead."""
+    from mrefsr_tpu.utils import FileClient
+    opt = dict(io_backend_opt)
+    return FileClient(opt.pop('type'), **opt)
+
+
+def match_point_crop(img, center_xy, gt_h, gt_w):
+    """Crop a (gt_h, gt_w) window centered on an annotated match point,
+    clamped inside the image. The reference slices raw CSV coordinates
+    (multi_ref_dataset.py:82-86) — a point nearer than half the window
+    to the top/left border silently produces a numpy-wrapped/empty
+    crop; clamping is identical for interior points (the only case the
+    curated annotations produce) and correct on the boundary."""
+    h, w = img.shape[:2]
+    x, y = int(center_xy[0]), int(center_xy[1])
+    y0 = min(max(y - gt_h // 2, 0), max(h - gt_h, 0))
+    x0 = min(max(x - gt_w // 2, 0), max(w - gt_w, 0))
+    return img[y0:y0 + gt_h, x0:x0 + gt_w]

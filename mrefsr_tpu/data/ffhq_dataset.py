@@ -10,6 +10,7 @@ import numpy as np
 from mrefsr_tpu.utils import (FileClient, get_root_logger, imfrombytes,
                               img2tensor)
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
+from mrefsr_tpu.data.data_util import lazy_file_client
 
 from .transforms import augment
 
@@ -43,15 +44,17 @@ class FFHQDataset:
 
     def __getitem__(self, index):
         if self.file_client is None:
-            self.file_client = FileClient(
-                self.io_backend_opt.pop('type'), **self.io_backend_opt)
+            self.file_client = lazy_file_client(self.io_backend_opt)
 
         gt_path = self.paths[index]
         retry = 3
+        img_bytes = None
+        last_err = None
         while retry > 0:
             try:
                 img_bytes = self.file_client.get(gt_path)
             except Exception as e:
+                last_err = e
                 get_root_logger().warning(
                     f'File client error: {e}, remaining retry times: '
                     f'{retry - 1}')
@@ -62,6 +65,10 @@ class FFHQDataset:
                 break
             finally:
                 retry -= 1
+        if img_bytes is None:
+            raise IOError(
+                f'Failed to read a training image after retries '
+                f'(last: {gt_path})') from last_err
         img_gt = imfrombytes(img_bytes, float32=True)
         img_gt = augment(img_gt, hflip=self.opt['use_hflip'],
                          rotation=False)

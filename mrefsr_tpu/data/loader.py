@@ -105,12 +105,19 @@ class DataLoader:
 
         def producer():
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for chunk in chunks:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self.dataset.__getitem__, chunk))
-                    batch_q.put(self.collate_fn(items))
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for chunk in chunks:
+                        if stop.is_set():
+                            break
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              chunk))
+                        batch_q.put(self.collate_fn(items))
+            except BaseException as e:  # noqa: B036
+                # hand the error to the consumer — a dead producer with
+                # no sentinel would leave the train loop blocked forever
+                batch_q.put(e)
+                return
             batch_q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
@@ -120,6 +127,8 @@ class DataLoader:
                 batch = batch_q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

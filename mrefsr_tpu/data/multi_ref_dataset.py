@@ -18,6 +18,7 @@ from PIL import Image
 from mrefsr_tpu.data.transforms import augment, mod_crop
 from mrefsr_tpu.utils import img2tensor
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
+from mrefsr_tpu.data.data_util import match_point_crop
 
 
 def _impad_to(img, shape, pad_val=0):
@@ -82,13 +83,9 @@ class MultiRefMegaDepthDataset:
             np.float32) / 255. for p in ref_paths]
 
         gt_h = gt_w = self.opt['gt_size']
-        img_in = img_in[p0[1] - gt_h // 2:p0[1] + gt_h // 2,
-                        p0[0] - gt_w // 2:p0[0] + gt_w // 2]
-        refs = [
-            r[p[1] - gt_h // 2:p[1] + gt_h // 2,
-              p[0] - gt_w // 2:p[0] + gt_w // 2]
-            for r, p in zip(refs, p_refs)
-        ]
+        img_in = match_point_crop(img_in, p0, gt_h, gt_w)
+        refs = [match_point_crop(r, p, gt_h, gt_w)
+                for r, p in zip(refs, p_refs)]
         random.shuffle(refs)
 
         imgs = augment([img_in] + refs, self.opt['use_flip'],

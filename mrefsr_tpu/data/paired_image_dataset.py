@@ -8,6 +8,7 @@ from mrefsr_tpu.data.data_util import (paired_paths_from_folder,
                                        paired_paths_from_meta_info_file)
 from mrefsr_tpu.data.transforms import augment, paired_random_crop
 from mrefsr_tpu.utils import FileClient, imfrombytes, img2tensor, rgb2ycbcr
+from mrefsr_tpu.data.data_util import lazy_file_client
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
 
 
@@ -43,8 +44,7 @@ class PairedImageDataset:
 
     def __getitem__(self, index):
         if self.file_client is None:
-            self.file_client = FileClient(
-                self.io_backend_opt.pop('type'), **self.io_backend_opt)
+            self.file_client = lazy_file_client(self.io_backend_opt)
 
         scale = self.opt['scale']
 
@@ -119,8 +119,7 @@ class SingleImageDataset:
 
     def __getitem__(self, index):
         if self.file_client is None:
-            self.file_client = FileClient(
-                self.io_backend_opt.pop('type'), **self.io_backend_opt)
+            self.file_client = lazy_file_client(self.io_backend_opt)
 
         lq_path = self.paths[index]
         img_lq = imfrombytes(self.file_client.get(lq_path, 'lq'),

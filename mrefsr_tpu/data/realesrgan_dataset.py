@@ -18,6 +18,7 @@ import numpy as np
 from mrefsr_tpu.utils import (FileClient, get_root_logger, imfrombytes,
                               img2tensor)
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
+from mrefsr_tpu.data.data_util import lazy_file_client
 
 from .data_util import paired_paths_from_folder, paired_paths_from_lmdb
 from .degradations import circular_lowpass_kernel, random_mixed_kernels
@@ -98,25 +99,33 @@ class RealESRGANDataset:
 
     def __getitem__(self, index):
         if self.file_client is None:
-            self.file_client = FileClient(
-                self.io_backend_opt.pop('type'), **self.io_backend_opt)
+            self.file_client = lazy_file_client(self.io_backend_opt)
 
         gt_path = self.paths[index]
         retry = 3
+        img_bytes = None
+        last_err = None
         while retry > 0:
             try:
                 img_bytes = self.file_client.get(gt_path, 'gt')
             except (IOError, OSError) as e:
+                last_err = e
                 logger = get_root_logger()
                 logger.warning(f'File client error: {e}, remaining retry '
                                f'times: {retry - 1}')
-                index = random.randint(0, self.__len__())
+                # the reference's randint(0, len()) can index one past
+                # the end (realesrgan_dataset.py:100) — exclusive bound
+                index = random.randint(0, self.__len__() - 1)
                 gt_path = self.paths[index]
                 time.sleep(1)
             else:
                 break
             finally:
                 retry -= 1
+        if img_bytes is None:
+            raise IOError(
+                f'Failed to read a training image after retries '
+                f'(last: {gt_path})') from last_err
         img_gt = imfrombytes(img_bytes, float32=True)
 
         img_gt = augment(img_gt, self.opt['use_hflip'], self.opt['use_rot'])
@@ -200,8 +209,7 @@ class RealESRGANPairedDataset:
 
     def __getitem__(self, index):
         if self.file_client is None:
-            self.file_client = FileClient(
-                self.io_backend_opt.pop('type'), **self.io_backend_opt)
+            self.file_client = lazy_file_client(self.io_backend_opt)
 
         scale = self.opt['scale']
         gt_path = self.paths[index]['gt_path']

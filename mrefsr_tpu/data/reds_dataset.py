@@ -12,6 +12,7 @@ from mrefsr_tpu.utils import (FileClient, get_root_logger, imfrombytes,
                               img2tensor)
 from mrefsr_tpu.utils.flow_util import dequantize_flow
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
+from mrefsr_tpu.data.data_util import lazy_file_client
 
 from .transforms import augment, paired_random_crop
 
@@ -67,8 +68,7 @@ class REDSDataset:
 
     def __getitem__(self, index):
         if self.file_client is None:
-            self.file_client = FileClient(
-                self.io_backend_opt.pop('type'), **self.io_backend_opt)
+            self.file_client = lazy_file_client(self.io_backend_opt)
 
         scale = self.opt['scale']
         gt_size = self.opt['gt_size']
@@ -208,8 +208,7 @@ class REDSRecurrentDataset:
 
     def __getitem__(self, index):
         if self.file_client is None:
-            self.file_client = FileClient(
-                self.io_backend_opt.pop('type'), **self.io_backend_opt)
+            self.file_client = lazy_file_client(self.io_backend_opt)
 
         scale = self.opt['scale']
         gt_size = self.opt['gt_size']

@@ -7,6 +7,7 @@ import numpy as np
 from PIL import Image
 
 from mrefsr_tpu.utils import FileClient, img2tensor
+from mrefsr_tpu.data.data_util import lazy_file_client
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
 
 from .data_util import (paired_paths_from_ann_file,
@@ -102,8 +103,7 @@ class RefCUFEDDataset:
 
     def _load_pair(self, index):
         if self.file_client is None:
-            self.file_client = FileClient(
-                self.io_backend_opt.pop('type'), **self.io_backend_opt)
+            self.file_client = lazy_file_client(self.io_backend_opt)
         in_path = self.paths[index]['in_path']
         img_in = cv2.imdecode(
             np.frombuffer(self.file_client.get(in_path, 'in'), np.uint8),

@@ -11,6 +11,7 @@ from PIL import Image
 
 from mrefsr_tpu.utils import img2tensor
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
+from mrefsr_tpu.data.data_util import match_point_crop
 
 from .multi_ref_dataset import _impad_to
 from .ref_cufed_dataset import image_pair_generation_perspective
@@ -82,10 +83,8 @@ class RefMegaDepthDataset:
         gt_h = gt_w = self.opt['gt_size']
         x_a, y_a = pt_a
         x_b, y_b = pt_b
-        img_in = img_in[y_a - gt_h // 2:y_a + gt_h // 2,
-                        x_a - gt_w // 2:x_a + gt_w // 2]
-        img_ref = img_ref[y_b - gt_h // 2:y_b + gt_h // 2,
-                          x_b - gt_w // 2:x_b + gt_w // 2]
+        img_in = match_point_crop(img_in, (x_a, y_a), gt_h, gt_w)
+        img_ref = match_point_crop(img_ref, (x_b, y_b), gt_h, gt_w)
         return augment([img_in, img_ref], self.opt['use_flip'],
                        self.opt['use_rot'])
 
@@ -200,11 +199,9 @@ class SingleRefMegaDepthDataset:
                 np.float32) / 255.
 
         gt_h = gt_w = self.opt['gt_size']
-        img_in = img_in[p0[1] - gt_h // 2:p0[1] + gt_h // 2,
-                        p0[0] - gt_w // 2:p0[0] + gt_w // 2]
+        img_in = match_point_crop(img_in, p0, gt_h, gt_w)
         pr = p_refs[perm[0]]
-        img_ref = img_ref[pr[1] - gt_h // 2:pr[1] + gt_h // 2,
-                          pr[0] - gt_w // 2:pr[0] + gt_w // 2]
+        img_ref = match_point_crop(img_ref, pr, gt_h, gt_w)
         img_in, img_ref = augment([img_in, img_ref],
                                   self.opt['use_flip'],
                                   self.opt['use_rot'])

@@ -12,6 +12,7 @@ import numpy as np
 from PIL import Image
 
 from mrefsr_tpu.utils import FileClient, img2tensor
+from mrefsr_tpu.data.data_util import match_point_crop, lazy_file_client
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
 
 from .data_util import (paired_paths_from_ann_file,
@@ -57,8 +58,7 @@ class SISRMegaDepthDataset:
         img_in = np.array(Image.open(in_path).convert('RGB')).astype(
             np.float32) / 255.
         gt_h = gt_w = self.opt['gt_size']
-        img_in = img_in[p0[1] - gt_h // 2:p0[1] + gt_h // 2,
-                        p0[0] - gt_w // 2:p0[0] + gt_w // 2]
+        img_in = match_point_crop(img_in, p0, gt_h, gt_w)
         img_in = augment(img_in, self.opt['use_flip'], self.opt['use_rot'])
         img_in_lq = _pil_bicubic_down(img_in, gt_w // scale, gt_h // scale)
         img_in, img_in_lq = img2tensor([img_in, img_in_lq], bgr2rgb=False,
@@ -99,8 +99,7 @@ class SISRCUFEDDataset:
 
     def __getitem__(self, index):
         if self.file_client is None:
-            self.file_client = FileClient(
-                self.io_backend_opt.pop('type'), **self.io_backend_opt)
+            self.file_client = lazy_file_client(self.io_backend_opt)
         scale = self.opt['scale']
 
         in_path = self.paths[index]['in_path']
@@ -125,6 +124,9 @@ class SISRCUFEDDataset:
 
         img_in, img_in_lq = img2tensor([img_in, img_in_lq], bgr2rgb=True,
                                        float32=True)
+        # NOTE: faithful to the reference (sisr_dataset.py:227-234),
+        # which also returns an EMPTY dict in train phase — upstream
+        # this dataset is only ever used for evaluation
         return_dict = {}
         if self.opt['phase'] != 'train':
             return_dict['gt'] = img_in

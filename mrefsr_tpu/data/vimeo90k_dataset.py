@@ -11,6 +11,7 @@ import numpy as np
 from mrefsr_tpu.utils import FileClient, get_root_logger, imfrombytes, \
     img2tensor
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
+from mrefsr_tpu.data.data_util import lazy_file_client
 
 from .transforms import augment, paired_random_crop
 
@@ -44,8 +45,7 @@ class Vimeo90KDataset:
 
     def __getitem__(self, index):
         if self.file_client is None:
-            self.file_client = FileClient(
-                self.io_backend_opt.pop('type'), **self.io_backend_opt)
+            self.file_client = lazy_file_client(self.io_backend_opt)
 
         if self.random_reverse and random.random() < 0.5:
             self.neighbor_list.reverse()
@@ -98,8 +98,7 @@ class Vimeo90KRecurrentDataset(Vimeo90KDataset):
 
     def __getitem__(self, index):
         if self.file_client is None:
-            self.file_client = FileClient(
-                self.io_backend_opt.pop('type'), **self.io_backend_opt)
+            self.file_client = lazy_file_client(self.io_backend_opt)
 
         if self.random_reverse and random.random() < 0.5:
             self.neighbor_list.reverse()

@@ -198,3 +198,42 @@ def test_vimeo90k_dataset(tmp_path):
     assert item['gt'].shape == (32, 32, 3)
     assert item['lq'].shape == (7, 8, 8, 3)
     assert item['key'] == '00001/0266'
+
+
+def test_loader_propagates_worker_exception():
+    """Regression: a dataset exception inside the producer thread used
+    to kill it before the end-sentinel, hanging the train loop forever;
+    it must re-raise in the consumer."""
+    from mrefsr_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError('corrupt image')
+            return {'x': np.zeros((2, 2), np.float32)}
+
+    loader = DataLoader(Bad(), batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match='corrupt image'):
+        for _ in loader:
+            pass
+
+
+def test_match_point_crop_clamps_at_borders():
+    """Edge match points produce a full-size clamped crop instead of
+    the reference's silent numpy wrap-around slice."""
+    from mrefsr_tpu.data.data_util import match_point_crop
+    img = np.arange(40 * 60 * 3, dtype=np.float32).reshape(40, 60, 3)
+    # interior point: identical to the raw slice
+    np.testing.assert_array_equal(
+        match_point_crop(img, (30, 20), 16, 16),
+        img[20 - 8:20 + 8, 30 - 8:30 + 8])
+    # point near the top-left border: clamped, full size, no wrap
+    crop = match_point_crop(img, (3, 2), 16, 16)
+    assert crop.shape == (16, 16, 3)
+    np.testing.assert_array_equal(crop, img[0:16, 0:16])
+    # near bottom-right
+    crop = match_point_crop(img, (59, 39), 16, 16)
+    np.testing.assert_array_equal(crop, img[24:40, 44:60])
