@@ -180,7 +180,8 @@ class MRAPAFusion(nn.Module):
         return feat[:, :h_input, :w_input, :]
 
 
-def _align_one_ref(mdl, carry, per_ref, ref_nf, groups, prefix):
+def _align_one_ref(mdl, carry, per_ref, ref_nf, groups, prefix,
+                   dcn_outer_remat=False):
     """Align ONE reference against the target features (the scanned body
     of a decoder scale). Params attach to ``mdl``'s scope with the same
     flat names as the reference's modules and are broadcast across the
@@ -196,16 +197,27 @@ def _align_one_ref(mdl, carry, per_ref, ref_nf, groups, prefix):
                          name=f'{p}_offset_conv1')(offset_in))
     off = _lrelu(nn.Conv(ref_nf, (3, 3), padding=1, kernel_init=init,
                          name=f'{p}_offset_conv2')(off))
-    # remat: recompute alignment internals in the backward pass
-    swapped = _lrelu(nn.remat(DynAgg)(ref_nf, ref_nf, 3,
-                                      deform_groups=groups,
-                                      name=f'{p}_dyn_agg')(
+    # Remat policy (dcn_outer_remat, YAML network_g key): the default
+    # keeps DynAgg's inner-checkpoint residuals (small: per-tap offsets
+    # + packed corner slabs) so the backward re-runs each tap ONCE —
+    # the per-tap checkpoint in ops/dcn.py alone bounds the im2col
+    # footprint. dcn_outer_remat=true additionally wraps DynAgg in
+    # nn.remat, discarding those residuals and replaying the whole
+    # alignment forward in the backward pass — one extra full gather
+    # pass per step through the bottleneck gather unit. Measured
+    # (stage3 bench, v5e): default 9.97 img/s/chip at b=8 / 9.05 at
+    # b=4 vs 9.44 / 8.76 with the outer remat. Set it true only when
+    # HBM is the binding constraint (e.g. large-patch gt=300 training).
+    dyn_agg_cls = nn.remat(DynAgg) if dcn_outer_remat else DynAgg
+    swapped = _lrelu(dyn_agg_cls(ref_nf, ref_nf, 3,
+                                 deform_groups=groups,
+                                 name=f'{p}_dyn_agg')(
         ref_feat_1, off, pre_offset_1))
     return carry, swapped
 
 
 def _scale_stage(mdl, x, pre_offset, ref_feat, nf, ref_nf, n_blocks,
-                 groups, prefix, ref_unroll=1):
+                 groups, prefix, ref_unroll=1, dcn_outer_remat=False):
     """One decoder scale: per-ref alignment scanned over the T refs +
     fusion + residual body (shared structure of reference :213-257).
     Called with the owning module so scanned params attach flat,
@@ -214,7 +226,8 @@ def _scale_stage(mdl, x, pre_offset, ref_feat, nf, ref_nf, n_blocks,
     p = prefix
 
     align = nn.scan(
-        partial(_align_one_ref, ref_nf=ref_nf, groups=groups, prefix=p),
+        partial(_align_one_ref, ref_nf=ref_nf, groups=groups, prefix=p,
+                dcn_outer_remat=dcn_outer_remat),
         variable_broadcast='params',
         variable_axes={'intermediates': 1},
         split_rngs={'params': False},
@@ -250,21 +263,22 @@ class DynamicAggregationRestoration(nn.Module):
     n_blocks: int = 16
     groups: int = 8
     ref_unroll: int = 1
+    dcn_outer_remat: bool = False
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
         x = _scale_stage(self, x, pre_offset['relu3_1'],
                          img_ref_feat['relu3_1'], self.ngf, 256,
                          self.n_blocks, self.groups, 'small',
-                         self.ref_unroll)
+                         self.ref_unroll, self.dcn_outer_remat)
         x = _scale_stage(self, x, pre_offset['relu2_1'],
                          img_ref_feat['relu2_1'], self.ngf, 128,
                          self.n_blocks, self.groups, 'medium',
-                         self.ref_unroll)
+                         self.ref_unroll, self.dcn_outer_remat)
         x = _scale_stage(self, x, pre_offset['relu1_1'],
                          img_ref_feat['relu1_1'], self.ngf, 64,
                          self.n_blocks, self.groups, 'large',
-                         self.ref_unroll)
+                         self.ref_unroll, self.dcn_outer_remat)
         return x
 
 
@@ -280,6 +294,7 @@ class MRAPARestorationNet(nn.Module):
     n_blocks: int = 16
     groups: int = 8
     ref_unroll: int = 1
+    dcn_outer_remat: bool = False
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
@@ -289,5 +304,6 @@ class MRAPARestorationNet(nn.Module):
                                         name='content_extractor')(x)
         upscale = DynamicAggregationRestoration(
             self.ngf, self.n_blocks, self.groups, self.ref_unroll,
+            self.dcn_outer_remat,
             name='dyn_agg_restore')(content_feat, pre_offset, img_ref_feat)
         return upscale + base

@@ -20,7 +20,7 @@ def _lrelu(x):
 
 
 def _scale_stage(x, pre_offset, ref_feat, nf, ref_nf, n_blocks, groups,
-                 prefix):
+                 prefix, dcn_outer_remat=False):
     """One single-ref decoder scale (reference :219-259): offset convs ->
     DynAgg -> concat+conv head -> residual body -> tail."""
     init = srntt_normal_init(0.02)
@@ -31,8 +31,12 @@ def _scale_stage(x, pre_offset, ref_feat, nf, ref_nf, n_blocks, groups,
                          name=f'{p}_offset_conv1')(off))
     off = _lrelu(nn.Conv(ref_nf, (3, 3), padding=1, kernel_init=init,
                          name=f'{p}_offset_conv2')(off))
-    swapped = _lrelu(nn.remat(DynAgg)(ref_nf, ref_nf, 3, deform_groups=groups,
-                            name=f'{p}_dyn_agg')(ref_feat, off, pre_offset))
+    # same outer-remat policy (and measured trade-off) as the multi-ref
+    # arch — see ref_mrapa_restoration_arch._align_one_ref
+    dyn_agg_cls = nn.remat(DynAgg) if dcn_outer_remat else DynAgg
+    swapped = _lrelu(dyn_agg_cls(ref_nf, ref_nf, 3, deform_groups=groups,
+                                 name=f'{p}_dyn_agg')(ref_feat, off,
+                                                      pre_offset))
 
     h = jnp.concatenate([x, swapped], axis=-1)
     h = _lrelu(nn.Conv(nf, (3, 3), padding=1, kernel_init=init,
@@ -57,16 +61,19 @@ class DynamicAggregationRestoration(nn.Module):
     ngf: int = 64
     n_blocks: int = 16
     groups: int = 8
+    dcn_outer_remat: bool = False
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
         x = _scale_stage(x, pre_offset['relu3_1'], img_ref_feat['relu3_1'],
-                         self.ngf, 256, self.n_blocks, self.groups, 'small')
+                         self.ngf, 256, self.n_blocks, self.groups, 'small',
+                         self.dcn_outer_remat)
         x = _scale_stage(x, pre_offset['relu2_1'], img_ref_feat['relu2_1'],
                          self.ngf, 128, self.n_blocks, self.groups,
-                         'medium')
+                         'medium', self.dcn_outer_remat)
         x = _scale_stage(x, pre_offset['relu1_1'], img_ref_feat['relu1_1'],
-                         self.ngf, 64, self.n_blocks, self.groups, 'large')
+                         self.ngf, 64, self.n_blocks, self.groups, 'large',
+                         self.dcn_outer_remat)
         return x
 
 
@@ -80,6 +87,7 @@ class RestorationNet(nn.Module):
     ngf: int = 64
     n_blocks: int = 16
     groups: int = 8
+    dcn_outer_remat: bool = False
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
@@ -88,6 +96,6 @@ class RestorationNet(nn.Module):
         content_feat = ContentExtractor(self.ngf, self.n_blocks,
                                         name='content_extractor')(x)
         upscale = DynamicAggregationRestoration(
-            self.ngf, self.n_blocks, self.groups,
+            self.ngf, self.n_blocks, self.groups, self.dcn_outer_remat,
             name='dyn_agg_restore')(content_feat, pre_offset, img_ref_feat)
         return upscale + base

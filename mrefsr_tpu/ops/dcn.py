@@ -20,13 +20,40 @@ Layouts (all NHWC / HWIO):
     bias:   (Cout,) or None
 """
 from functools import partial
+import os
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def _tap_checkpoint(fn):
+    """Checkpoint wrapper for the per-tap scan body.
+
+    Default: full remat — the backward re-runs the tap forward,
+    including its gather (minimum live memory; the CUDA reference's
+    col2im backward also re-walks the sampling grid,
+    deform_conv_cuda_kernel.cu:280).
+
+    MREFSR_DCN_SAVE_GATHER=1: save the gathered corner rows
+    (checkpoint_name 'dcn_gather') across the scan so the backward
+    streams them from HBM instead of re-gathering — the gather unit is
+    the step bottleneck (~Mrow/s floor, docs/TPUDesign.md), so this
+    trades HBM capacity for one whole gather pass per step.
+    Measured (stage3 bench, v5e): SLOWER — 7.43 img/s/chip at b=8 vs
+    9.44 default; streaming the saved rows back through HBM costs more
+    than re-gathering from the VMEM-sized slabs. Kept as a knob for
+    future hardware where the balance differs.
+    """
+    if os.environ.get('MREFSR_DCN_SAVE_GATHER'):
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.save_only_these_names(
+                'dcn_gather'))
+    return jax.checkpoint(fn)
 
 
 def modulated_deform_conv2d(x, offset, mask, weight, bias=None, stride=1,
@@ -114,7 +141,7 @@ def _mdcn_slab_scan(x, offset, mask, weight, dims, oy, ox, ky, kx):
 
     def grp(acc, ginp):
         x4_g, off_g, m_g, w_gg = ginp
-        acc, _ = jax.lax.scan(jax.checkpoint(tap(x4_g)), acc,
+        acc, _ = jax.lax.scan(_tap_checkpoint(tap(x4_g)), acc,
                               (off_g, m_g, w_gg, ky, kx))
         return acc, None
 
@@ -150,7 +177,9 @@ def _slab_bilinear(x4_g, dims, dtype, fy, fx):
     yc = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
     xc = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
     rows = yc * (w + 1) + xc
-    g4 = jnp.take(x4_g, rows.reshape(-1), axis=0)  # (Ho*Wo, 4*cg)
+    g4 = checkpoint_name(
+        jnp.take(x4_g, rows.reshape(-1), axis=0),  # (Ho*Wo, 4*cg)
+        'dcn_gather')
     ws = (wy0 * wx0 * vy0 * vx0,
           wy0 * wx1 * vy0 * vx1,
           wy1 * wx0 * vy1 * vx0,
@@ -193,7 +222,7 @@ def _mdcn_tap_scan(x, offset, mask, weight, dims, oy, ox, ky, kx):
         return acc, None
 
     acc0 = jnp.zeros((n, ho, wo, cout), jnp.float32)
-    out, _ = jax.lax.scan(jax.checkpoint(tap), acc0,
+    out, _ = jax.lax.scan(_tap_checkpoint(tap), acc0,
                           (offset_t, mask_t, w_t, ky, kx))
     return out
 
@@ -250,7 +279,9 @@ def _deform_gather_tap_packed(x4, dims, dtype, fy, fx):
     bidx = jnp.arange(n).reshape(n, 1, 1, 1)
     gidx = jnp.arange(dg).reshape(1, 1, 1, dg)
     rows = (bidx * dg + gidx) * ((h + 1) * (w + 1)) + yc * (w + 1) + xc
-    g4 = jnp.take(x4, rows.reshape(-1), axis=0)  # (N*Ho*Wo*dg, 4*cg)
+    g4 = checkpoint_name(
+        jnp.take(x4, rows.reshape(-1), axis=0),  # (N*Ho*Wo*dg, 4*cg)
+        'dcn_gather')
 
     ws = (wy0 * wx0 * vy0 * vx0,
           wy0 * wx1 * vy0 * vx1,

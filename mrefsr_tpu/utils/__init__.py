@@ -5,7 +5,7 @@ from .dist_util import get_dist_info, init_dist, master_only
 from .file_client import FileClient
 from .img_process_util import USMSharp, filter2D, usm_sharp
 from .img_util import (crop_border, imfrombytes, img2tensor, imwrite,
-                       tensor2img)
+                       tensor2img, tensor2img_fast)
 from .logger import (AvgTimer, MessageLogger, get_env_info, get_root_logger,
                      init_tb_logger, init_wandb_logger)
 from .matlab_functions import imresize
@@ -72,6 +72,7 @@ __all__ = [
     'FileClient',
     # img_util
     'crop_border', 'imfrombytes', 'img2tensor', 'imwrite', 'tensor2img',
+    'tensor2img_fast',
     # logger
     'AvgTimer', 'MessageLogger', 'get_env_info', 'get_root_logger',
     'init_tb_logger', 'init_wandb_logger',

@@ -88,6 +88,22 @@ def _make_grid(batch, nrow, padding=2):
     return grid
 
 
+def tensor2img_fast(tensor, rgb2bgr=True, min_max=(0, 1)):
+    """Faster single-image variant of tensor2img (reference
+    img_util.py:97-111): only (1, H, W, C) / (H, W, C) arrays, scales to
+    [0, 255] and TRUNCATES to uint8 (the reference casts with
+    ``.type(torch.uint8)``, which truncates rather than rounds)."""
+    arr = np.asarray(tensor, dtype=np.float32)
+    if arr.ndim == 4:
+        arr = arr[0]
+    arr = np.clip(arr, min_max[0], min_max[1])
+    arr = (arr - min_max[0]) / (min_max[1] - min_max[0]) * 255
+    arr = arr.astype(np.uint8)
+    if rgb2bgr:
+        arr = cv2.cvtColor(arr, cv2.COLOR_RGB2BGR)
+    return arr
+
+
 def imfrombytes(content, flag='color', float32=False):
     """Read an image from bytes (reference img_util.py:114-133).
 

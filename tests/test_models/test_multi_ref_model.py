@@ -134,6 +134,39 @@ def test_multi_ref_model_gan_phase():
     assert 'l_g_gan' in model.log_dict
 
 
+@pytest.mark.slow
+def test_dcn_remat_variants_same_trajectory(monkeypatch):
+    """The DCN remat knobs (network_g.dcn_outer_remat — arch-level outer
+    replay for low-HBM regimes — and MREFSR_DCN_SAVE_GATHER, ops/dcn.py)
+    trade HBM for gather passes in the backward; they must not change
+    the training trajectory."""
+    import jax
+
+    def run(outer_remat, env):
+        monkeypatch.delenv('MREFSR_DCN_SAVE_GATHER', raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        opt = make_opt(multi=True)
+        opt['network_g']['dcn_outer_remat'] = outer_remat
+        model = build_model(opt)
+        rng = np.random.RandomState(7)
+        batch = make_batch(rng, b=1, t=2, gt=32)
+        for it in range(1, 3):
+            model.feed_data(batch)
+            model.optimize_parameters(it)
+        return jax.tree_util.tree_map(np.asarray, model.vars_g)
+
+    base = run(False, {})
+    for outer_remat, env in ((True, {}),
+                             (False, {'MREFSR_DCN_SAVE_GATHER': '1'}),
+                             (True, {'MREFSR_DCN_SAVE_GATHER': '1'})):
+        got = run(outer_remat, env)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6,
+                                                    atol=1e-7),
+            base, got)
+
+
 def test_wave_dispatch_matches_per_step():
     """steps_per_dispatch: K (one jitted scan over K optimizer steps)
     must produce the same trajectory as K per-step dispatches."""

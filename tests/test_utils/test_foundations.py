@@ -87,6 +87,21 @@ def test_tensor2img_jax_array():
     assert np.all(out == 128)
 
 
+def test_tensor2img_fast_truncates_like_reference():
+    # the reference's tensor2img_fast casts with .type(torch.uint8),
+    # which TRUNCATES — 0.9999*255 = 254.97 must become 254, not 255
+    from mrefsr_tpu.utils import tensor2img_fast
+    img = np.full((1, 4, 4, 3), 0.9999, np.float32)
+    out = tensor2img_fast(img, rgb2bgr=False)
+    assert out.dtype == np.uint8
+    assert np.all(out == 254)
+    # channel swap + 3D input
+    rgb = np.zeros((4, 4, 3), np.float32)
+    rgb[..., 0] = 1.0  # pure red
+    out = tensor2img_fast(rgb, rgb2bgr=True)
+    assert out[0, 0, 2] == 255 and out[0, 0, 0] == 0
+
+
 def test_scandir(tmp_path):
     (tmp_path / 'a.png').write_text('x')
     (tmp_path / 'b.jpg').write_text('x')
