@@ -44,10 +44,11 @@ def _tap_checkpoint(fn):
     streams them from HBM instead of re-gathering — the gather unit is
     the step bottleneck (~Mrow/s floor, docs/TPUDesign.md), so this
     trades HBM capacity for one whole gather pass per step.
-    Measured (stage3 bench, v5e): SLOWER — 7.43 img/s/chip at b=8 vs
-    9.44 default; streaming the saved rows back through HBM costs more
-    than re-gathering from the VMEM-sized slabs. Kept as a knob for
-    future hardware where the balance differs.
+    Measured (stage3 bench, v5e): SLOWER — 7.62 img/s/chip at b=6 vs
+    9.97 default at b=8 (OOMs at b=8: the relu1_1 rows alone are
+    4.4 GB); streaming the saved rows back through HBM costs more than
+    re-gathering from the VMEM-sized slabs. Kept as a knob for future
+    hardware where the balance differs.
     """
     if os.environ.get('MREFSR_DCN_SAVE_GATHER'):
         return jax.checkpoint(
