@@ -134,6 +134,20 @@ def test_multi_ref_model_gan_phase():
     assert 'l_g_gan' in model.log_dict
 
 
+def test_dcn_outer_remat_yaml_key_reaches_arch():
+    """network_g: dcn_outer_remat flows through build_network to the
+    arch dataclass (both ref archs) — guards the YAML surface of the
+    remat knob."""
+    from mrefsr_tpu.archs import build_network
+    net = build_network({'type': 'MRAPARestorationNet', 'ngf': 8,
+                         'n_blocks': 1, 'groups': 2,
+                         'dcn_outer_remat': True})
+    assert net.dcn_outer_remat is True
+    net = build_network({'type': 'RestorationNet', 'ngf': 8,
+                         'n_blocks': 1, 'groups': 2})
+    assert net.dcn_outer_remat is False
+
+
 @pytest.mark.slow
 def test_dcn_remat_variants_same_trajectory(monkeypatch):
     """The DCN remat knobs (network_g.dcn_outer_remat — arch-level outer
