@@ -164,23 +164,12 @@ class BaseModel:
         self.current_iter = current_iter
 
     def get_current_learning_rate(self):
-        mult = float(self.schedule_fn(self.current_iter)) if hasattr(
+        # the optimizer's schedule count during iter i is i - 1 (optax
+        # counts completed updates), so log the multiplier the step
+        # actually applies
+        mult = float(self.schedule_fn(self.current_iter - 1)) if hasattr(
             self, 'schedule_fn') else 1.0
         return [lr * mult for lr in self.base_lrs] or [0.0]
-
-    # --------------------------------------------------------------- device
-    def to_device(self, batch, keys=None):
-        """Shard float batch arrays over the data mesh (replaces .cuda()
-        H2D copies in feed_data)."""
-        out = {}
-        for k, v in batch.items():
-            if keys is not None and k not in keys:
-                out[k] = v
-            elif isinstance(v, np.ndarray) and v.dtype.kind == 'f':
-                out[k] = v  # lazily device_put inside jit via sharding
-            else:
-                out[k] = v
-        return out
 
     # ------------------------------------------------------------------ EMA
     @staticmethod

@@ -83,7 +83,8 @@ class DegradationSynthesizer:
         self.jpeger = DiffJPEG(differentiable=False)
         self.usm = USMSharp()
         self._jit_synth = jax.jit(
-            self._synth, static_argnames=('gt_hw', 'c1', 'c2'))
+            self._synth,
+            static_argnames=('gt_hw', 'c1', 'c2', 'usm_source'))
 
     # ------------------------------------------------------------ host RNG
     def _draw_resize(self, prob, rng_range):
@@ -97,11 +98,18 @@ class DegradationSynthesizer:
         mode = random.choice(MODES)
         return scale, mode
 
-    def __call__(self, key, gt, kernel1, kernel2, sinc_kernel):
+    def __call__(self, key, gt, kernel1, kernel2, sinc_kernel,
+                 usm_source=True):
         """gt: (b, H, W, 3) RGB [0,1] device array. Returns (gt_usm, lq)
         with lq of shape (b, H/scale, W/scale, 3). Cropping to gt_size
         happens in the caller (after the pair pool), as in the
-        reference (:172-176)."""
+        reference (:172-176).
+
+        usm_source: degrade from usm(gt) — the RealESRGAN model's
+        behavior (reference realesrgan_model.py:183,86 degrades from
+        self.gt_usm unconditionally). RealESRNet passes False: the
+        reference realesrnet_model.py:86 degrades from self.gt, which
+        feed_data has already sharpened iff ``gt_usm: true``."""
         opt = self.opt
         H, W = int(gt.shape[1]), int(gt.shape[2])
         lqh, lqw = H // self.scale, W // self.scale
@@ -140,18 +148,20 @@ class DegradationSynthesizer:
             jnp.int32(h1), jnp.int32(w1), jnp.int32(h2), jnp.int32(w2),
             jnp.asarray(noise1_gaussian), jnp.asarray(second_blur),
             jnp.asarray(noise2_gaussian), jnp.asarray(resize_first),
-            gt_hw=(H, W), c1=(c1h, c1w), c2=(c2h, c2w))
+            gt_hw=(H, W), c1=(c1h, c1w), c2=(c2h, c2w),
+            usm_source=usm_source)
 
     # ------------------------------------------------------------ device
     def _synth(self, key, gt, kernel1, kernel2, sinc_kernel, a1h, a1w, a2h,
                a2w, a3h, a3w, h1, w1, h2, w2, noise1_gaussian, second_blur,
-               noise2_gaussian, resize_first, gt_hw, c1, c2):
+               noise2_gaussian, resize_first, gt_hw, c1, c2,
+               usm_source=True):
         opt = self.opt
         H, W = gt_hw
         lqh, lqw = H // self.scale, W // self.scale
         keys = jax.random.split(key, 8)
 
-        gt_usm = self.usm(gt)
+        gt_usm = self.usm(gt) if usm_source else gt
 
         # ---------------- first degradation (reference :85-114)
         out = filter2D(gt_usm, kernel1)

@@ -87,6 +87,10 @@ class HiFaceGANModel(SRModel):
                                                  strict=strict_d)
             self.vars_d = replicate(self.vars_d, self.mesh)
             self.opt_state_d = self.tx_d.init(self.vars_d['params'])
+            # the super() call above ran _restore_trees before the D
+            # optimizer existed; its opt_state_d entry stayed pending
+            if self._resume_trees is not None:
+                self._restore_trees()
 
     @staticmethod
     def _divide_pred(pred):

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def multistep_lr(milestones, gamma=0.5):
+def multistep_lr(milestones, gamma=0.1):
     """lr_mult(step) = gamma ** #{milestones <= step} — torch MultiStepLR
     semantics with per-iteration stepping."""
     ms = jnp.asarray(sorted(int(m) for m in milestones), jnp.int32)
@@ -83,13 +83,20 @@ def cosine_annealing_restart_lr(periods, restart_weights=(1,), eta_min=0,
 
 
 def with_warmup(schedule, warmup_iter=-1):
-    """Linear warmup wrapper (reference base_model.py:172-193)."""
+    """Linear warmup wrapper (reference base_model.py:172-193).
+
+    ``step`` is the optax update count, 0 on the first optimizer step,
+    i.e. step = current_iter - 1 in the reference's 1-based iteration.
+    The reference ramps lr * current_iter / warmup_iter while
+    current_iter < warmup_iter, so the first step gets 1/warmup (NOT 0)
+    and the regular schedule takes over at current_iter == warmup_iter.
+    """
     if warmup_iter is None or warmup_iter <= 0:
         return schedule
 
     def warmed(step):
-        step = jnp.asarray(step)
-        return jnp.where(step < warmup_iter, step / warmup_iter,
+        it = jnp.asarray(step) + 1  # 1-based current_iter
+        return jnp.where(it < warmup_iter, it / warmup_iter,
                          schedule(step))
 
     return warmed
@@ -106,8 +113,11 @@ def build_schedule(scheduler_opt, warmup_iter=-1, base_lr=1.0):
     stype = opt.pop('type', 'MultiStepLR')
     if stype in ('MultiStepLR', 'MultiStepRestartLR'):
         milestones = opt.get('milestones', [])
-        gamma = opt.get('gamma', 0.1 if stype == 'MultiStepRestartLR'
-                        else 0.5)
+        # the reference maps BOTH type strings onto MultiStepRestartLR,
+        # whose default gamma is 0.1 (reference base_model.py
+        # setup_schedulers + lr_scheduler.py:6) — torch MultiStepLR's
+        # default is also 0.1
+        gamma = opt.get('gamma', 0.1)
         if stype == 'MultiStepLR':
             sched = multistep_lr(milestones, gamma)
         else:

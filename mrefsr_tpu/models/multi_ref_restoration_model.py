@@ -26,8 +26,7 @@ from mrefsr_tpu.archs import build_network
 from mrefsr_tpu.losses import legacy_losses
 from mrefsr_tpu.metrics import calculate_psnr, calculate_ssim
 from mrefsr_tpu.parallel import batch_sharding, replicate
-from mrefsr_tpu.utils import (ProgressBar, get_root_logger, imwrite,
-                              tensor2img)
+from mrefsr_tpu.utils import get_root_logger, imwrite, tensor2img
 from mrefsr_tpu.utils.registry import MODEL_REGISTRY
 
 from .base_model import BaseModel

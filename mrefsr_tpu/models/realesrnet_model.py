@@ -40,8 +40,11 @@ class RealESRNetModel(SRModel):
             sinc_kernel = jax.numpy.asarray(
                 np.asarray(data['sinc_kernel'], np.float32))
 
+            # degrade from gt itself (already sharpened above iff
+            # gt_usm: true) — reference realesrnet_model.py:86 uses
+            # self.gt, unlike RealESRGAN which degrades from usm(gt)
             _, lq = self.synth(self.next_rng(), gt, kernel1, kernel2,
-                               sinc_kernel)
+                               sinc_kernel, usm_source=False)
             gt, lq = paired_random_crop_device(
                 gt, lq, self.opt['gt_size'], self.opt['scale'],
                 self.next_rng())

@@ -8,7 +8,6 @@ all-reduce over ICI, replacing DDP.
 """
 import os.path as osp
 from collections import OrderedDict
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -106,13 +105,14 @@ class SRModel(BaseModel):
                 ema_path = self._pretrain_path
                 self.ema_variables = None
                 if ema_path is not None:
-                    try:
-                        loaded = self.load_network(ema_path, strict=True,
-                                                   param_key='params_ema')
-                        self.ema_variables = self._merge_loaded(
-                            self.variables, loaded)
-                    except Exception:
-                        pass
+                    # load_network falls back params_ema -> params (with
+                    # a log line) when the checkpoint has no EMA key;
+                    # real load errors propagate loudly rather than
+                    # silently re-seeding EMA from current params
+                    loaded = self.load_network(ema_path, strict=True,
+                                               param_key='params_ema')
+                    self.ema_variables = self._merge_loaded(
+                        self.variables, loaded)
                 if self.ema_variables is None:
                     # distinct buffers: ema and params are both donated by
                     # the train step
@@ -139,9 +139,13 @@ class SRModel(BaseModel):
 
         keep = jtu.tree_map_with_path(
             lambda path, g: float(bool(keep_fn(path_str(path)))), grads)
+        # step_idx is 0-based (= current_iter - 1); the reference
+        # unfreezes AT current_iter == until (edvr_model/
+        # video_recurrent_model set requires_grad True before that
+        # step), so only iters 1..until-1 train frozen
         return jax.tree_util.tree_map(
-            lambda g, k: jnp.where(step_idx < until, g * k, g), grads,
-            keep)
+            lambda g, k: jnp.where(step_idx + 1 < until, g * k, g),
+            grads, keep)
 
     # ----------------------------------------------------------- step fns
     def _build_train_step(self):
@@ -416,12 +420,24 @@ class SRModel(BaseModel):
 
     def resume_training(self, resume_state):
         """Defer optimizer-state restore until params are initialized
-        (reference base_model.py:343-356)."""
-        self._resume_trees = resume_state.get('trees', {})
+        (reference base_model.py:343-356). Copies the dict — restore
+        consumes entries as their optimizer states come up."""
+        self._resume_trees = dict(resume_state.get('trees', {}))
 
     def _restore_trees(self):
+        """Restore serialized optimizer trees once their live templates
+        exist. GAN subclasses call this a second time after building
+        the discriminator optimizer — entries whose template is still
+        None stay pending (restoring into a freshly-initialized state
+        would silently zero Adam moments and reset the LR schedule)."""
         from flax import serialization
-        if 'opt_state_g' in self._resume_trees:
+        trees = self._resume_trees
+        if 'opt_state_g' in trees:
             self.opt_state = serialization.from_bytes(
-                self.opt_state, self._resume_trees['opt_state_g'])
+                self.opt_state, trees.pop('opt_state_g'))
+        if 'opt_state_d' in trees:
+            if getattr(self, 'opt_state_d', None) is None:
+                return  # retried after the D optimizer is built
+            self.opt_state_d = serialization.from_bytes(
+                self.opt_state_d, trees.pop('opt_state_d'))
         self._resume_trees = None

@@ -91,6 +91,10 @@ class SRGANModel(SRModel):
                                                  strict=strict_d)
             self.vars_d = replicate(self.vars_d, self.mesh)
             self.opt_state_d = self.tx_d.init(self.vars_d['params'])
+            # the super() call above ran _restore_trees before the D
+            # optimizer existed; its opt_state_d entry stayed pending
+            if self._resume_trees is not None:
+                self._restore_trees()
 
     def _apply_d(self, vars_d, x, train=True):
         """Discriminator apply threading batch_stats when present."""
@@ -276,14 +280,3 @@ class SRGANModel(SRModel):
         trees = {'opt_state_g': self.opt_state,
                  'opt_state_d': self.opt_state_d}
         self.save_training_state(epoch, current_iter, trees)
-
-    def _restore_trees(self):
-        from flax import serialization
-        if 'opt_state_g' in self._resume_trees:
-            self.opt_state = serialization.from_bytes(
-                self.opt_state, self._resume_trees['opt_state_g'])
-        if 'opt_state_d' in self._resume_trees and \
-                self.opt_state_d is not None:
-            self.opt_state_d = serialization.from_bytes(
-                self.opt_state_d, self._resume_trees['opt_state_d'])
-        self._resume_trees = None

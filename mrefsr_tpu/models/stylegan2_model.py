@@ -25,7 +25,6 @@ from mrefsr_tpu.utils import get_root_logger, imwrite, tensor2img
 from mrefsr_tpu.utils.registry import MODEL_REGISTRY
 
 from .base_model import BaseModel
-from .sr_model import SRModel
 
 
 @MODEL_REGISTRY.register()
@@ -107,13 +106,13 @@ class StyleGAN2Model(BaseModel):
         self.ema_variables = jax.tree_util.tree_map(jnp.copy,
                                                     self.variables)
         if load_path:
-            try:
-                loaded = self.load_network(load_path, strict=True,
-                                           param_key='params_ema')
-                self.ema_variables = self._merge_loaded(
-                    self.ema_variables, loaded)
-            except Exception:
-                pass
+            # load_network falls back params_ema -> params with a log
+            # line when the checkpoint has no EMA key; real load errors
+            # propagate loudly (the reference also fails loudly)
+            loaded = self.load_network(load_path, strict=True,
+                                       param_key='params_ema')
+            self.ema_variables = self._merge_loaded(
+                self.ema_variables, loaded)
         out_size = self.opt['network_d'].get(
             'out_size', self.opt['network_g']['out_size'])
         img = jnp.zeros((1, out_size, out_size, 3))
@@ -133,6 +132,12 @@ class StyleGAN2Model(BaseModel):
             self._restore_trees()
 
     _resume_trees = None
+
+    def resume_training(self, resume_state):
+        """Defer optimizer-state restore until the nets are built
+        (mirrors SRModel.resume_training; without this override the
+        BaseModel stub raises and --auto_resume crashes)."""
+        self._resume_trees = dict(resume_state.get('trees', {}))
 
     def _restore_trees(self):
         from flax import serialization

@@ -99,6 +99,50 @@ def test_gan_model_perceptual_zero_style_weight():
     assert model.log_dict['l_g_percep'] != 0.0
 
 
+def test_gan_resume_restores_d_optimizer_state(tmp_path):
+    """Regression: SRModel._ensure_initialized ran _restore_trees
+    before the D optimizer existed, silently dropping the opt_state_d
+    entry — every resumed GAN run restarted D with zeroed Adam moments
+    and its LR-schedule count reset to 0. The entry must stay pending
+    and restore once the D optimizer is built."""
+    import os.path as osp
+
+    import jax
+    from flax import serialization
+
+    opt = make_opt('SRGANModel')
+    opt['path'] = {'models': str(tmp_path),
+                   'training_states': str(tmp_path),
+                   'visualization': str(tmp_path)}
+    model = build_model(opt)
+    rng = np.random.RandomState(3)
+    batch = {'lq': rng.rand(1, 8, 8, 3).astype(np.float32),
+             'gt': rng.rand(1, 32, 32, 3).astype(np.float32)}
+    for i in range(1, 4):
+        model.feed_data(batch)
+        model.optimize_parameters(i)
+    model.save(0, 3)
+
+    state = model.load_training_state(osp.join(str(tmp_path), '3.state'))
+    saved_g = state['trees']['opt_state_g']
+    saved_d = state['trees']['opt_state_d']
+    model2 = build_model(opt)
+    model2.resume_training(state)
+    model2.feed_data(batch)  # lazy init + deferred tree restore
+
+    def to_bytes(tree):
+        return serialization.to_bytes(
+            jax.tree_util.tree_map(np.asarray, tree))
+
+    # sanity: a fresh D optimizer state differs from the trained one
+    model3 = build_model(opt)
+    model3.feed_data(batch)
+    assert to_bytes(model3.opt_state_d) != saved_d
+
+    assert to_bytes(model2.opt_state) == saved_g
+    assert to_bytes(model2.opt_state_d) == saved_d
+
+
 def test_gan_d_trains_on_pre_update_generator_output():
     """Regression: the reference computes self.output BEFORE
     optimizer_g.step() and trains D on its detached value

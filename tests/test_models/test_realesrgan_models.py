@@ -152,6 +152,39 @@ def test_realesrnet_model_trains(gt_folder, tmp_path):
     assert np.isfinite(model.log_dict['l_pix'])
 
 
+def test_degradation_synth_usm_source_flag(gt_folder, tmp_path):
+    """Regression: the synthesizer unconditionally degraded from
+    usm(gt). RealESRNet must degrade from gt itself (reference
+    realesrnet_model.py:86; feed_data pre-sharpens iff gt_usm: true),
+    while RealESRGAN keeps the always-usm source (reference
+    realesrgan_model.py:183,86)."""
+    import jax
+    import jax.numpy as jnp
+
+    opt = _base_opt(tmp_path, gt_folder, 'RealESRNetModel')
+    from mrefsr_tpu.models.degradation_synth import DegradationSynthesizer
+    synth = DegradationSynthesizer(opt)
+    batch = _batch(gt_folder)
+    gt = jnp.asarray(np.asarray(batch['gt'], np.float32))
+    k1 = jnp.asarray(np.asarray(batch['kernel1'], np.float32))
+    k2 = jnp.asarray(np.asarray(batch['kernel2'], np.float32))
+    sk = jnp.asarray(np.asarray(batch['sinc_kernel'], np.float32))
+
+    import random as _r
+    _r.seed(0)
+    np.random.seed(0)
+    src_usm, lq_usm = synth(jax.random.PRNGKey(0), gt, k1, k2, sk,
+                            usm_source=True)
+    _r.seed(0)
+    np.random.seed(0)
+    src_raw, lq_raw = synth(jax.random.PRNGKey(0), gt, k1, k2, sk,
+                            usm_source=False)
+    # usm_source=False degrades from (and returns) the UNsharpened gt
+    np.testing.assert_array_equal(np.asarray(src_raw), np.asarray(gt))
+    assert not np.allclose(np.asarray(src_usm), np.asarray(gt))
+    assert not np.allclose(np.asarray(lq_usm), np.asarray(lq_raw))
+
+
 def test_realesrgan_model_trains(gt_folder, tmp_path):
     opt = _base_opt(tmp_path, gt_folder, 'RealESRGANModel')
     opt['network_d'] = {'type': 'VGGStyleDiscriminator', 'num_in_ch': 3,

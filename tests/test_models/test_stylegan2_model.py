@@ -105,6 +105,21 @@ def test_stylegan2_model_trains(ffhq_root, tmp_path):
                       map_location='cpu', weights_only=True)
     assert 'params' in ckpt and 'params_ema' in ckpt
 
+    # resume: a fresh model restores BOTH optimizer states from the
+    # .state file (regression: StyleGAN2Model had no resume_training
+    # override, so --auto_resume crashed on BaseModel's stub)
+    import jax
+    from flax import serialization
+    state = model.load_training_state(osp.join(str(tmp_path), '4.state'))
+    model2 = build_model(opt)
+    model2.resume_training(state)
+    model2.feed_data(batch)  # lazy init + deferred tree restore
+    for key, live in (('opt_state_g', model2.opt_state),
+                      ('opt_state_d', model2.opt_state_d)):
+        got = serialization.to_bytes(
+            jax.tree_util.tree_map(np.asarray, live))
+        assert got == state['trees'][key], f'{key} not restored'
+
 
 def test_stylegan2_test_mode_validation(tmp_path):
     """Regression: test.py calls validation without any feed_data;

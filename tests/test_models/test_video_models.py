@@ -289,3 +289,23 @@ def test_edvr_model_tsa_phase(video_root, tmp_path):
         f'non-fusion params trained during TSA phase: {moved_nonfusion[:5]}'
     assert moved_fusion, 'fusion params must train during TSA phase'
     assert np.isfinite(model.log_dict['l_pix'])
+
+    # at current_iter == tsa_iter the reference UNFREEZES before the
+    # step (edvr_model sets requires_grad True at that iter), so iter 2
+    # must train non-fusion params too (regression: the freeze lasted
+    # one iteration longer than the reference)
+    params_before2 = jax.tree_util.tree_map(np.asarray,
+                                            model.variables['params'])
+    model.feed_data(batch)
+    model.optimize_parameters(2)
+    flat_b2 = jax.tree_util.tree_leaves_with_path(params_before2)
+    flat_a2 = dict(jax.tree_util.tree_leaves_with_path(
+        model.variables['params']))
+    moved_nonfusion2 = [
+        '.'.join(str(getattr(k, 'key', k)) for k in path)
+        for path, b in flat_b2
+        if 'fusion' not in '.'.join(str(getattr(k, 'key', k))
+                                    for k in path)
+        and not np.allclose(b, np.asarray(flat_a2[path]))]
+    assert moved_nonfusion2, \
+        'non-fusion params must train at iter == tsa_iter'

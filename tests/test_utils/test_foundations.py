@@ -191,3 +191,27 @@ def test_cosine_eta_min_is_absolute():
     assert abs(lr_end - 1e-7) < 1e-12
     lr_start = base_lr * float(sched(0))
     assert abs(lr_start - base_lr) < 1e-12
+
+
+def test_warmup_matches_reference_ramp():
+    """Regression: the reference ramps lr * current_iter / warmup_iter
+    while current_iter < warmup_iter (base_model.py:172-193). The optax
+    count is 0 on the FIRST step (= iter 1), which must get 1/warmup —
+    not 0, which silently made the whole first optimizer step a no-op."""
+    from mrefsr_tpu.models.lr_scheduler import build_schedule
+    sched = build_schedule({'type': 'MultiStepLR', 'milestones': [100],
+                            'gamma': 0.5}, warmup_iter=10)
+    assert abs(float(sched(0)) - 0.1) < 1e-6   # iter 1 -> 1/10
+    assert abs(float(sched(8)) - 0.9) < 1e-6   # iter 9 -> 9/10
+    assert abs(float(sched(9)) - 1.0) < 1e-6   # iter 10 -> schedule
+
+
+def test_multistep_default_gamma_matches_reference():
+    """Regression: the reference maps both MultiStepLR and
+    MultiStepRestartLR onto MultiStepRestartLR with default gamma 0.1
+    (reference lr_scheduler.py:6); the default here was 0.5 — a silent
+    5x LR discrepancy at every milestone for configs omitting gamma."""
+    from mrefsr_tpu.models.lr_scheduler import build_schedule
+    sched = build_schedule({'type': 'MultiStepLR', 'milestones': [5]})
+    assert abs(float(sched(4)) - 1.0) < 1e-6
+    assert abs(float(sched(5)) - 0.1) < 1e-6
