@@ -201,8 +201,8 @@ class MultiRefRestorationModel(BaseModel):
         lq = jnp.asarray(batch['img_in_lq'][:1])
 
         # extractor
-        self.vars_extractor = self.net_extractor.init(r1, match_img_in,
-                                                      refs)
+        self.vars_extractor = self.net_extractor.init(
+            r1, *self._extractor_args(match_img_in, refs))
         load_path = self.opt['path'].get(
             'pretrain_network_feature_extractor')
         if load_path:
@@ -213,11 +213,9 @@ class MultiRefRestorationModel(BaseModel):
                         f'{load_path}')
 
         # net_map (vgg19 weights via vgg_pretrain_path, torchvision layout)
-        feats = self.net_extractor.apply(self.vars_extractor, match_img_in,
-                                         refs)
+        d1, d2 = self._apply_extractor(self.vars_extractor, match_img_in,
+                                       refs)
         b, t = refs.shape[0], refs.shape[1]
-        d1 = feats['dense_features1']
-        d2 = feats['dense_features2']
         d1_flat = jnp.broadcast_to(d1[:, None],
                                    (b, t) + d1.shape[1:]).reshape(
             (b * t,) + d1.shape[1:])
@@ -243,7 +241,8 @@ class MultiRefRestorationModel(BaseModel):
             logger.info(f'Loaded VGG for net_map from {vgg_path}')
 
         # net_g
-        pre_offset, img_ref_feat = self._run_map(d1, d2, refs)
+        pre_offset, img_ref_feat = self._net_g_ref_inputs(
+            *self._run_map(d1, d2, refs))
         self.vars_g = self.net_g.init(r3, lq, pre_offset, img_ref_feat)
         load_path = self.opt['path'].get('pretrain_network_g')
         if load_path:
@@ -277,6 +276,23 @@ class MultiRefRestorationModel(BaseModel):
         return self._merge_loaded(init_vars, loaded_vars, strict=strict)
 
     # ---------------------------------------------------------- forward fns
+    def _extractor_args(self, match_img_in, refs):
+        """Example args for net_extractor.init — the single-ref subclass
+        squeezes the T=1 axis (ContrasExtractorSep takes one ref)."""
+        return match_img_in, refs
+
+    def _apply_extractor(self, vars_ex, match_img_in, refs):
+        """Run net_extractor; returns (d1 (B,h,w,C), d2 (B,T,h,w,C))."""
+        feats = self.net_extractor.apply(vars_ex, match_img_in, refs)
+        return feats['dense_features1'], feats['dense_features2']
+
+    def _net_g_ref_inputs(self, pre_offset, img_ref_feat):
+        """Adapt the stacked (B,T,...) map outputs to net_g's inputs —
+        identity here (MRAPARestorationNet keeps the T axis); the
+        single-ref subclass squeezes T=1 (RestorationNet takes
+        un-stacked dicts)."""
+        return pre_offset, img_ref_feat
+
     def _run_map(self, d1, d2, refs, vars_map=None):
         """Correspondence generation with the T refs folded into batch.
 
@@ -304,10 +320,9 @@ class MultiRefRestorationModel(BaseModel):
         jit treats them as inputs, not baked-in constants (a closure
         capture makes XLA constant-fold ~30M VGG params — pathological
         compile times)."""
-        feats = self.net_extractor.apply(vars_ex, match_img_in, refs)
-        pre_offset, img_ref_feat = self._run_map(
-            feats['dense_features1'], feats['dense_features2'], refs,
-            vars_map)
+        d1, d2 = self._apply_extractor(vars_ex, match_img_in, refs)
+        pre_offset, img_ref_feat = self._net_g_ref_inputs(
+            *self._run_map(d1, d2, refs, vars_map))
         return self.net_g.apply({'params': params_g}, lq, pre_offset,
                                 img_ref_feat)
 

@@ -95,8 +95,11 @@ def load_resume_state(opt):
     """Auto-resume from the newest .state (reference train.py:68-88)."""
     resume_state_path = None
     if opt['auto_resume']:
-        state_path = osp.join('experiments', opt['name'],
-                              'training_states')
+        # the derived experiment path, NOT a cwd-relative
+        # 'experiments/<name>' (the reference hardcodes the latter,
+        # train.py:70-71, which silently restarts-and-archives the run
+        # under a custom experiments_root or a different cwd)
+        state_path = opt['path']['training_states']
         if osp.isdir(state_path):
             states = list(scandir(state_path, suffix='.state',
                                   recursive=False, full_path=False))
@@ -195,8 +198,6 @@ def train_pipeline(root_path, args=None):
         train_data = prefetcher.next()
 
         while train_data is not None:
-            data_timer.record()
-
             if current_iter >= total_iters:
                 break
             prev_iter = current_iter
@@ -208,6 +209,10 @@ def train_pipeline(root_path, args=None):
                     if nxt is None:
                         break
                     batches.append(nxt)
+                # ONE record covering all K fetches: the loader wait for
+                # batches 2..K is data time, not compute time (the log
+                # divides by the wave length, like iter_timer)
+                data_timer.record()
                 current_iter += len(batches)
                 model.update_learning_rate(
                     current_iter,
@@ -216,6 +221,7 @@ def train_pipeline(root_path, args=None):
                 model.optimize_parameters_wave(batches, prev_iter + 1)
                 profiler.maybe_stop(current_iter)
             else:
+                data_timer.record()
                 current_iter += 1
                 model.update_learning_rate(
                     current_iter,
@@ -257,6 +263,7 @@ def train_pipeline(root_path, args=None):
             train_data = prefetcher.next()
         epoch += 1
 
+    profiler.close()  # finalize a window still open past total_iters
     consumed_time = str(
         datetime.timedelta(seconds=int(time.time() - start_time)))
     logger.info(f'End of training. Time consumed: {consumed_time}')

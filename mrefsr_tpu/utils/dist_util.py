@@ -23,11 +23,16 @@ def init_dist(launcher=None, backend=None, **kwargs):
     if _initialized or launcher in (None, 'none'):
         return
     import jax
-    if jax.process_count() > 1 or os.environ.get('JAX_COORDINATOR_ADDRESS'):
+    # check the env var BEFORE touching any jax API: jax.process_count()
+    # initializes the backend, after which jax.distributed.initialize()
+    # raises and every host would silently fall back to rank 0
+    if os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        jax.distributed.initialize(**kwargs)
+    elif jax.process_count() > 1:
         try:
             jax.distributed.initialize(**kwargs)
         except (RuntimeError, ValueError):
-            pass  # already initialized or single-process
+            pass  # already initialized (e.g. by the TPU runtime)
     _initialized = True
 
 

@@ -45,14 +45,17 @@ def save_response_content(response, destination, file_size=None,
     downloaded_size = 0
     with open(destination, 'wb') as f:
         for chunk in response.iter_content(chunk_size):
-            downloaded_size += chunk_size
+            if not chunk:  # keep-alive chunks
+                continue
+            # count actual bytes (the reference adds chunk_size even for
+            # short/final chunks, download_util.py:60 — progress >100%)
+            downloaded_size += len(chunk)
             if file_size is not None:
                 ratio = math.ceil(downloaded_size / file_size * 100)
                 print(f'\rDownload {ratio}% -- '
                       f'{sizeof_fmt(downloaded_size)} / '
                       f'{sizeof_fmt(file_size)}', end='')
-            if chunk:
-                f.write(chunk)
+            f.write(chunk)
         print()
 
 

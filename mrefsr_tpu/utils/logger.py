@@ -6,6 +6,7 @@ reports jax/XLA versions and the device roster.
 """
 import datetime
 import logging
+import os
 import time
 
 from .dist_util import get_dist_info, master_only
@@ -139,6 +140,24 @@ def get_root_logger(logger_name='mrefsr_tpu', log_level=logging.INFO,
     processes log at ERROR."""
     logger = logging.getLogger(logger_name)
     if logger_name in initialized_logger:
+        # a later pipeline run in the same process may pass a NEW
+        # log_file (the reference's name-keyed cache silently appends
+        # run 2's lines to run 1's file and never creates run 2's log):
+        # redirect the file handler to the new path on rank 0
+        rank, _ = get_dist_info()
+        if log_file is not None and rank == 0 and not any(
+                isinstance(h, logging.FileHandler)
+                and h.baseFilename == os.path.abspath(log_file)
+                for h in logger.handlers):
+            for h in [h for h in logger.handlers
+                      if isinstance(h, logging.FileHandler)]:
+                logger.removeHandler(h)
+                h.close()
+            file_handler = logging.FileHandler(log_file, 'w')
+            file_handler.setFormatter(logging.Formatter(
+                '%(asctime)s %(levelname)s: %(message)s'))
+            file_handler.setLevel(log_level)
+            logger.addHandler(file_handler)
         return logger
 
     format_str = '%(asctime)s %(levelname)s: %(message)s'

@@ -15,7 +15,7 @@ import sys
 
 import yaml
 
-from .dist_util import get_dist_info, init_dist
+from .dist_util import get_dist_info, init_dist, master_only
 from .misc import set_random_seed
 
 
@@ -217,9 +217,11 @@ def _enable_compilation_cache(opt, root_path):
         print(f'compilation cache disabled: {e}')
 
 
+@master_only
 def copy_opt_file(opt_file, experiments_root):
     """Archive the YAML into the experiment dir with provenance info
-    (reference options.py:181-195)."""
+    (reference options.py:181-195; @master_only like the reference —
+    non-zero ranks would race on, or lack, the experiment dir)."""
     import time
     from shutil import copyfile
     cmd = ' '.join(sys.argv)

@@ -35,15 +35,18 @@ class StepProfiler:
         self.trace_dir = logger_opt.get(
             'profile_dir', osp.join(root, 'tb_logger'))
         self._active = False
+        self._done = False
 
     @property
     def enabled(self):
         return self.start_iter is not None
 
     def maybe_start(self, current_iter):
-        if not self.enabled or self._active:
+        if not self.enabled or self._active or self._done:
             return
-        if current_iter == self.start_iter:
+        # >= not ==: in wave mode (steps_per_dispatch) current_iter
+        # advances K at a time and may never land on start_iter exactly
+        if current_iter >= self.start_iter:
             get_root_logger().info(
                 f'Starting jax.profiler trace at iter {current_iter} '
                 f'({self.num_steps} steps) -> {self.trace_dir}')
@@ -56,13 +59,20 @@ class StepProfiler:
         if current_iter >= self.start_iter + self.num_steps - 1:
             jax.profiler.stop_trace()
             self._active = False
+            self._done = True
             get_root_logger().info(
                 f'Saved jax.profiler trace to {self.trace_dir}')
 
     def close(self):
+        """Finalize a window still open when the train loop exits (e.g.
+        start_iter near total_iters) — otherwise the trace file is
+        never written."""
         if self._active:
             jax.profiler.stop_trace()
             self._active = False
+            self._done = True
+            get_root_logger().info(
+                f'Saved jax.profiler trace to {self.trace_dir}')
 
 
 def trace_annotation(name):

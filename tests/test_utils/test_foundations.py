@@ -206,6 +206,79 @@ def test_warmup_matches_reference_ramp():
     assert abs(float(sched(9)) - 1.0) < 1e-6   # iter 10 -> schedule
 
 
+def test_profiler_window_in_wave_mode(monkeypatch, tmp_path):
+    """Regression: maybe_start used equality, so with steps_per_dispatch
+    the K-at-a-time iter counter could step over profile_start_iter and
+    the trace never fired; and a window open at loop exit was never
+    finalized (close() was dead code)."""
+    import mrefsr_tpu.utils.profiler as prof_mod
+    calls = []
+    monkeypatch.setattr(prof_mod.jax.profiler, 'start_trace',
+                        lambda d: calls.append(('start', d)))
+    monkeypatch.setattr(prof_mod.jax.profiler, 'stop_trace',
+                        lambda: calls.append(('stop',)))
+    p = prof_mod.StepProfiler({'logger': {'profile_start_iter': 100,
+                                          'profile_num_steps': 5},
+                               'path': {'experiments_root': str(tmp_path)}})
+    # wave mode advances 8 at a time: 96 -> 104 skips 100
+    for it in (8, 96, 104, 112):
+        p.maybe_start(it)
+        p.maybe_stop(it)
+    assert calls == [('start', p.trace_dir), ('stop',)]
+    # a window still open at loop exit is finalized by close(), and the
+    # window never restarts after it is done
+    calls.clear()
+    p2 = prof_mod.StepProfiler({'logger': {'profile_start_iter': 4,
+                                           'profile_num_steps': 100}})
+    p2.maybe_start(4)
+    p2.close()
+    p2.maybe_start(8)
+    assert calls == [('start', p2.trace_dir), ('stop',)]
+
+
+def test_get_root_logger_redirects_file_per_run(tmp_path):
+    """Regression: the name-keyed cache ignored log_file on later calls,
+    so a second pipeline run in one process never got its own log file
+    (its lines silently went to run 1's file)."""
+    import logging
+    import uuid
+
+    from mrefsr_tpu.utils.logger import get_root_logger
+    name = f'test_logger_{uuid.uuid4().hex[:8]}'
+    f1 = tmp_path / 'run1.log'
+    f2 = tmp_path / 'run2.log'
+    logger = get_root_logger(logger_name=name, log_file=str(f1))
+    logger.info('first run line')
+    logger = get_root_logger(logger_name=name, log_file=str(f2))
+    logger.info('second run line')
+    for h in list(logger.handlers):
+        h.close()
+        logger.removeHandler(h)
+    assert 'first run line' in f1.read_text()
+    assert 'second run line' in f2.read_text()
+    assert 'second run line' not in f1.read_text()
+
+
+def test_auto_resume_honors_custom_experiments_root(tmp_path):
+    """Regression: load_resume_state scanned the cwd-relative
+    'experiments/<name>' instead of the derived path — with a custom
+    experiments_root, --auto_resume silently restarted (and archived)
+    the run."""
+    import pickle
+
+    from mrefsr_tpu.train import load_resume_state
+    states_dir = tmp_path / 'custom_root' / 'exp1' / 'training_states'
+    states_dir.mkdir(parents=True)
+    state = {'epoch': 1, 'iter': 7, 'trees': {}}
+    with open(states_dir / '7.state', 'wb') as f:
+        pickle.dump(state, f)
+    opt = {'auto_resume': True, 'name': 'exp1',
+           'path': {'training_states': str(states_dir)}}
+    loaded = load_resume_state(opt)
+    assert loaded is not None and loaded['iter'] == 7
+    assert opt['path']['resume_state'] == str(states_dir / '7.state')
+
+
 def test_multistep_default_gamma_matches_reference():
     """Regression: the reference maps both MultiStepLR and
     MultiStepRestartLR onto MultiStepRestartLR with default gamma 0.1
