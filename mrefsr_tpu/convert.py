@@ -20,18 +20,31 @@ import numpy as np
 def load_torch_state_dict(path, param_key='params'):
     """Load a reference-format .pth: {param_key: state_dict} or a bare
     state_dict; strips ``module.`` prefixes (reference
-    base_model.py:280-306)."""
+    base_model.py:280-306).
+
+    param_key selection happens HERE (with the reference's
+    params_ema -> params fallback, base_model.py:294-297): asking for
+    'params_ema' from a {'params': ...}-only file falls back to
+    'params' with a log line; a key absent entirely means the file is a
+    bare state dict and is used as-is. param_key=None skips selection
+    (bare external checkpoints, e.g. torchvision VGG)."""
     import torch
     ckpt = torch.load(path, map_location='cpu', weights_only=True)
-    if param_key is not None and isinstance(ckpt, dict) \
-            and param_key in ckpt:
-        ckpt = ckpt[param_key]
-    elif isinstance(ckpt, dict) and 'params' in ckpt \
-            and all(not hasattr(v, 'numpy') for k, v in ckpt.items()
-                    if k == 'params'):
-        ckpt = ckpt['params']
+    if param_key is not None and isinstance(ckpt, dict):
+        if param_key not in ckpt and param_key == 'params_ema' \
+                and isinstance(ckpt.get('params'), dict):
+            from mrefsr_tpu.utils import get_root_logger
+            get_root_logger().info(
+                'Loading: params_ema does not exist, use params.')
+            param_key = 'params'
+        if isinstance(ckpt.get(param_key), dict):
+            ckpt = ckpt[param_key]
     out = {}
     for k, v in ckpt.items():
+        if isinstance(v, dict):
+            raise ValueError(
+                f'{path} is a wrapped checkpoint (keys {list(ckpt)}); '
+                f'pass param_key to select one (got {param_key!r})')
         if k.startswith('module.'):
             k = k[7:]
         out[k] = v.numpy() if hasattr(v, 'numpy') else np.asarray(v)
@@ -52,15 +65,22 @@ def torch_to_flax(state_dict, rename=None):
     params = {}
     batch_stats = {}
     spectral = {}
-    # modules owning running stats are norm layers: their 1-D 'weight' maps
-    # to flax's 'scale'
-    norm_modules = {k.rsplit('.', 1)[0] for k in state_dict
-                    if k.endswith('running_mean')}
+    # apply rename up front so norm-module detection below sees the SAME
+    # key space as the mapping loop (deriving norm_modules from the
+    # pre-rename keys mis-mapped a renamed BatchNorm's gamma to 'weight'
+    # instead of 'scale')
+    items = []
     for key, val in state_dict.items():
         if rename is not None:
             key = rename(key)
             if key is None:
                 continue
+        items.append((key, val))
+    # modules owning running stats are norm layers: their 1-D 'weight' maps
+    # to flax's 'scale'
+    norm_modules = {k.rsplit('.', 1)[0] for k, _ in items
+                    if k.endswith('running_mean')}
+    for key, val in items:
         parts = _split_key(key)
         leaf = parts[-1]
         path = parts[:-1]
@@ -135,8 +155,8 @@ def _set(tree, path, val):
     node[path[-1]] = val
 
 
-def flax_to_torch(params, batch_stats=None):
-    """Inverse conversion for saving reference-compatible .pth files."""
+def _flatten(tree):
+    """Nested dict -> {dotted_key: np.ndarray}."""
     flat = {}
 
     def walk(node, prefix):
@@ -147,36 +167,45 @@ def flax_to_torch(params, batch_stats=None):
             else:
                 flat[p] = np.asarray(v)
 
-    walk(params, '')
+    walk(tree, '')
+    return flat
+
+
+def flax_to_torch(params, batch_stats=None, spectral=None):
+    """Inverse conversion for saving reference-compatible .pth files.
+
+    spectral: the 'spectral' collection of SN layers (u/v power-iteration
+    buffers); their modules save kernel as ``.weight_orig`` plus
+    ``.weight_u``/``.weight_v``, matching torch.nn.utils.spectral_norm's
+    state-dict layout (the forward mapping at torch_to_flax above).
+    """
+    sn_flat = _flatten(spectral) if spectral else {}
+    # modules whose kernel must save as weight_orig
+    sn_modules = {k.rsplit('.', 1)[0] for k in sn_flat}
     out = {}
-    for key, val in flat.items():
+    for key, val in _flatten(params).items():
         parts = key.split('.')
         leaf = parts[-1]
         base = '.'.join(parts[:-1])
         if leaf == 'kernel':
+            name = 'weight_orig' if base in sn_modules else 'weight'
             if val.ndim == 5:
-                out[f'{base}.weight'] = val.transpose(4, 3, 0, 1, 2)
+                out[f'{base}.{name}'] = val.transpose(4, 3, 0, 1, 2)
             elif val.ndim == 4:
-                out[f'{base}.weight'] = val.transpose(3, 2, 0, 1)
+                out[f'{base}.{name}'] = val.transpose(3, 2, 0, 1)
             else:
-                out[f'{base}.weight'] = val.transpose(1, 0)
+                out[f'{base}.{name}'] = val.transpose(1, 0)
         elif leaf == 'scale':
             out[f'{base}.weight'] = val
         else:
             out[f'{base}.{leaf}'] = val
+    for key, val in sn_flat.items():
+        parts = key.split('.')
+        leaf = parts[-1]  # 'u' | 'v'
+        base = '.'.join(parts[:-1])
+        out[f'{base}.weight_{leaf}'] = val
     if batch_stats:
-        walk_stats = {}
-
-        def walk2(node, prefix):
-            for k, v in node.items():
-                p = f'{prefix}.{k}' if prefix else k
-                if isinstance(v, dict):
-                    walk2(v, p)
-                else:
-                    walk_stats[p] = np.asarray(v)
-
-        walk2(batch_stats, '')
-        for key, val in walk_stats.items():
+        for key, val in _flatten(batch_stats).items():
             parts = key.split('.')
             leaf = parts[-1]
             base = '.'.join(parts[:-1])
@@ -188,9 +217,10 @@ def flax_to_torch(params, batch_stats=None):
 
 
 def save_torch_checkpoint(path, params, batch_stats=None,
-                          param_key='params'):
+                          param_key='params', spectral=None):
     """Write a reference-format .pth via torch.save."""
     import torch
     sd = {k: torch.from_numpy(np.ascontiguousarray(v))
-          for k, v in flax_to_torch(params, batch_stats).items()}
+          for k, v in flax_to_torch(params, batch_stats,
+                                    spectral=spectral).items()}
     torch.save({param_key: sd}, path)

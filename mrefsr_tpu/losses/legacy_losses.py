@@ -43,10 +43,15 @@ class MaskedTVLoss(L1Loss):
         super().__init__(loss_weight=loss_weight)
 
     def __call__(self, pred, mask=None):
-        y_diff = super().__call__(pred[:, :-1, :, :], pred[:, 1:, :, :],
-                                  weight=mask[:, :-1, :, :])
-        x_diff = super().__call__(pred[:, :, :-1, :], pred[:, :, 1:, :],
-                                  weight=mask[:, :, :-1, :])
+        # mask=None falls back to unweighted TV (the reference
+        # unconditionally subscripts mask and crashes on its own
+        # documented default, models/losses.py:133-136)
+        y_diff = super().__call__(
+            pred[:, :-1, :, :], pred[:, 1:, :, :],
+            weight=None if mask is None else mask[:, :-1, :, :])
+        x_diff = super().__call__(
+            pred[:, :, :-1, :], pred[:, :, 1:, :],
+            weight=None if mask is None else mask[:, :, :-1, :])
         return x_diff + y_diff
 
 
@@ -146,6 +151,14 @@ class TextureLoss:
         x_features = self.vgg.apply(vgg_variables, x)
         maps = dict(maps)
 
+        # non-dict weights get the same +1 replicate pad as the dict
+        # branch, applied ONCE before the per-layer upscale (reference
+        # models/losses.py:490-491), and the upscale is bicubic
+        # align_corners=True (:511-512)
+        if self.use_weights and not isinstance(weights, dict):
+            weights = jnp.pad(weights, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                              mode='edge')
+
         losses = 0.
         for k in x_features:
             div_num = self._DIV_NUM[k]
@@ -157,15 +170,17 @@ class TextureLoss:
                 else:
                     from mrefsr_tpu.ops import interpolate
                     w = interpolate(weights, scale_factor=2**idx,
-                                    mode='bilinear', align_corners=True)
+                                    mode='bicubic', align_corners=True)
                 coeff = jax.nn.sigmoid(w * (-20.) + .65)
                 maps[k] = maps[k] * coeff
                 x_features = dict(x_features)
                 x_features[k] = x_features[k] * coeff
 
             diff = self._gram(x_features[k]) - self._gram(maps[k])
+            # float divisor: the Python int (input_size^2*div_num)^2
+            # overflows jax's default int32 argument parsing
             losses += jnp.linalg.norm(diff.reshape(-1)) / 4. / (
-                (input_size * input_size * div_num)**2)
+                float(input_size * input_size * div_num)**2)
         losses = losses / 3.
         return losses * self.loss_weight
 

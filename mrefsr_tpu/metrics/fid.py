@@ -58,7 +58,9 @@ def calculate_fid(mu1, sigma1, mu2, sigma2, eps=1e-6):
     assert sigma1.shape == sigma2.shape, \
         'Two covariances have different dimensions'
 
-    cov_sqrt, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    # disp=False is deprecated (removed in scipy>=1.18); finiteness of
+    # the plain return carries the same singularity signal
+    cov_sqrt = linalg.sqrtm(sigma1 @ sigma2)
     if not np.isfinite(cov_sqrt).all():
         print(f'Product of cov matrices is singular. Adding {eps} to '
               'diagonal of cov estimates')

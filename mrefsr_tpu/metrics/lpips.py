@@ -112,6 +112,11 @@ def calculate_lpips(img, img2, crop_border=0, input_order='HWC',
     img = reorder_image(img, input_order=input_order).astype(np.float32)
     img2 = reorder_image(img2, input_order=input_order).astype(
         np.float32)
+    # registry metrics receive BGR (tensor2img output; same convention
+    # as to_y_channel in the sibling metrics) — LPIPS's VGG tower needs
+    # RGB like the reference wrapper's img2tensor(..., bgr2rgb=True)
+    img = img[..., ::-1]
+    img2 = img2[..., ::-1]
     if crop_border != 0:
         img = img[crop_border:-crop_border, crop_border:-crop_border]
         img2 = img2[crop_border:-crop_border, crop_border:-crop_border]

@@ -17,6 +17,22 @@ from mrefsr_tpu.utils.registry import METRIC_REGISTRY
 from .metric_util import reorder_image, to_y_channel
 
 
+def _pris_params():
+    """Pristine-MVG parameters, loaded once (validation calls
+    calculate_niqe per image — reloading the npz each call is pure IO
+    overhead, a flaw inherited from the reference)."""
+    global _PRIS_CACHE
+    if _PRIS_CACHE is None:
+        root_dir = os.path.dirname(os.path.abspath(__file__))
+        f = np.load(os.path.join(root_dir, 'niqe_pris_params.npz'))
+        _PRIS_CACHE = (f['mu_pris_param'], f['cov_pris_param'],
+                       f['gaussian_window'])
+    return _PRIS_CACHE
+
+
+_PRIS_CACHE = None
+
+
 def estimate_aggd_param(block):
     """Fit AGGD params (alpha, beta_l, beta_r) to a block
     (reference niqe.py:13-38)."""
@@ -106,12 +122,7 @@ def calculate_niqe(img, crop_border, input_order='HWC', convert_to='y',
                    **kwargs):
     """NIQE entry (reference niqe.py:143-197): BGR uint8-range input,
     Y/gray conversion, MATLAB-consistent rounding."""
-    root_dir = os.path.dirname(os.path.abspath(__file__))
-    niqe_pris_params = np.load(
-        os.path.join(root_dir, 'niqe_pris_params.npz'))
-    mu_pris_param = niqe_pris_params['mu_pris_param']
-    cov_pris_param = niqe_pris_params['cov_pris_param']
-    gaussian_window = niqe_pris_params['gaussian_window']
+    mu_pris_param, cov_pris_param, gaussian_window = _pris_params()
 
     img = img.astype(np.float32)
     if input_order != 'HW':

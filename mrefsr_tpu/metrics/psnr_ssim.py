@@ -174,6 +174,24 @@ def calculate_ssim_jax(img, img2, crop_border, test_y_channel=False,
 
 
 # Reference-name aliases so YAML configs written for the torch build
-# (`type: calculate_psnr_pt`) keep working.
-METRIC_REGISTRY._do_register('calculate_psnr_pt', calculate_psnr_jax)
-METRIC_REGISTRY._do_register('calculate_ssim_pt', calculate_ssim_jax)
+# (`type: calculate_psnr_pt`) keep working. The validation loop hands
+# registry metrics HWC BGR uint8 images (tensor2img output), while the
+# jax variants take NHWC RGB [0,1] batches — adapt per input rank
+# (plain aliasing crashed on the only dispatch that uses the registry).
+def _pt_alias(fn):
+    def adapter(img, img2, crop_border, test_y_channel=False, **kwargs):
+        import jax.numpy as jnp
+        if getattr(img, 'ndim', None) == 3:
+            a = np.asarray(img)[..., ::-1].astype(np.float32)[None] / 255.
+            b = np.asarray(img2)[..., ::-1].astype(
+                np.float32)[None] / 255.
+            return float(fn(jnp.asarray(a), jnp.asarray(b), crop_border,
+                            test_y_channel).mean())
+        return fn(img, img2, crop_border, test_y_channel)
+    return adapter
+
+
+METRIC_REGISTRY._do_register('calculate_psnr_pt',
+                             _pt_alias(calculate_psnr_jax))
+METRIC_REGISTRY._do_register('calculate_ssim_pt',
+                             _pt_alias(calculate_ssim_jax))

@@ -206,8 +206,14 @@ class BaseModel:
                                                            params_))
             bs = params_.get('batch_stats') if isinstance(params_, dict) \
                 else None
+            # SN power-iteration buffers save as weight_orig/u/v like
+            # torch.nn.utils.spectral_norm (keeps the saved .pth loadable
+            # by the reference and round-trippable here)
+            sn = params_.get('spectral') if isinstance(params_, dict) \
+                else None
             sd = {k: torch.from_numpy(np.ascontiguousarray(v))
-                  for k, v in flax_to_torch(params_np, bs).items()}
+                  for k, v in flax_to_torch(params_np, bs,
+                                            spectral=sn).items()}
             save_dict[key_] = sd
 
         for retry in range(3):
@@ -229,13 +235,11 @@ class BaseModel:
         (reference base_model.py:280-306, incl. params_ema->params
         fallback). Returns the variables dict."""
         logger = get_root_logger()
-        sd = load_torch_state_dict(load_path, param_key=None)
-        if param_key is not None and param_key in sd and isinstance(
-                sd[param_key], dict):
-            sd = sd[param_key]
-        elif param_key == 'params_ema' and 'params' in sd:
-            logger.info('Loading: params_ema does not exist, use params.')
-            sd = sd['params']
+        # key selection (incl. the params_ema -> params fallback) lives
+        # in load_torch_state_dict — passing None here used to strip the
+        # 'params' entry first, silently loading NON-EMA weights for
+        # every param_key='params_ema' request on dual-key files
+        sd = load_torch_state_dict(load_path, param_key=param_key)
         logger.info(f'Loading model from {load_path} '
                     f'[param_key: {param_key}].')
         variables = torch_to_flax(sd, rename=rename)

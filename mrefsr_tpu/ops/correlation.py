@@ -151,7 +151,13 @@ def feature_match_index_sharded(feat_input, feat_ref_shard, axis_name,
 
     feat_ref_shard must carry ``ref_base``: pass a tuple
     (shard (Hs, W, C), row_offset int) where row_offset is the shard's
-    first row in the full ref image.
+    first row in the full ref image. Shards MUST overlap by a
+    (patch_size - 1)-row halo (shard d covers full-image rows
+    [d*Hs, d*Hs + Hs + patch_size - 1)) — with disjoint bands the
+    patches straddling each boundary belong to no shard and
+    boundary-straddling matches are silently lost. row_offset must be a
+    multiple of ref_stride so the local patch grid embeds in the global
+    one.
     """
     shard, row_offset = feat_ref_shard
     local_idx, local_val = feature_match_index(
@@ -159,11 +165,13 @@ def feature_match_index_sharded(feat_input, feat_ref_shard, axis_name,
         input_stride=input_stride, ref_stride=ref_stride, is_norm=is_norm,
         norm_input=norm_input, chunk=chunk)
     # local patch grid -> global row-major index over the FULL ref grid
+    # (row_offset is in IMAGE rows; the patch grid is strided)
     hs, w, _ = shard.shape
     pw_local = (w - patch_size) // ref_stride + 1
     local_rows = local_idx // pw_local
     local_cols = local_idx % pw_local
-    global_idx = (local_rows + row_offset) * pw_local + local_cols
+    global_idx = (local_rows + row_offset // ref_stride) * pw_local \
+        + local_cols
 
     global_val = jax.lax.pmax(local_val, axis_name)
     big = jnp.iinfo(jnp.int32).max

@@ -156,14 +156,12 @@ def _mdcn_slab_scan(x, offset, mask, weight, dims, oy, ox, ky, kx):
     return out  # (N, Ho, Wo, cout) f32
 
 
-def _slab_bilinear(x4_g, dims, dtype, fy, fx):
-    """Bilinear sample from ONE (item, group) corner-packed slab.
-
-    x4_g: ((H+1)(W+1), 4*cg); fy/fx: (Ho, Wo). Returns (Ho, Wo, cg).
-    Validity is judged on the UNclipped corner coords, the row index on
-    clipped ones (mmcv zero-outside semantics, cf. _pack_bilinear_corners).
-    """
-    h, w, cg = dims
+def _corner_rows_and_weights(fy, fx, h, w, dtype):
+    """Shared bilinear math of both DCN gather paths: clipped corner row
+    coords (into the corner-packed table, cf. _pack_bilinear_corners)
+    and the 4 validity-masked corner weights. Validity is judged on the
+    UNclipped corner coords, the row index on clipped ones (mmcv
+    zero-outside semantics)."""
     y0 = jnp.floor(fy)
     x0 = jnp.floor(fx)
     wy1 = (fy - y0).astype(dtype)
@@ -174,24 +172,38 @@ def _slab_bilinear(x4_g, dims, dtype, fy, fx):
     vy1 = ((y0 >= -1) & (y0 <= h - 2)).astype(dtype)
     vx0 = ((x0 >= 0) & (x0 <= w - 1)).astype(dtype)
     vx1 = ((x0 >= -1) & (x0 <= w - 2)).astype(dtype)
-
     yc = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
     xc = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
-    rows = yc * (w + 1) + xc
-    g4 = checkpoint_name(
-        jnp.take(x4_g, rows.reshape(-1), axis=0),  # (Ho*Wo, 4*cg)
-        'dcn_gather')
     ws = (wy0 * wx0 * vy0 * vx0,
           wy0 * wx1 * vy0 * vx1,
           wy1 * wx0 * vy1 * vx0,
           wy1 * wx1 * vy1 * vx1)
-    # combine the 4 corners with LANE slices of the gathered row: a
-    # (..., 4, cg) reshape + einsum here forces a transposed VMEM copy
-    # of every gathered row; the slice form measured fastest (a fused
-    # 4x-tiled-weight matmul variant was 1.7x SLOWER — the extra MACs
-    # and the weight-row broadcast cost more than the copies saved)
-    out = sum(g4[:, i * cg:(i + 1) * cg] * w.reshape(-1, 1)
-              for i, w in enumerate(ws))
+    return yc, xc, ws
+
+
+def _combine_corners(g4, ws, cg):
+    """Weighted sum of the 4 packed corners via LANE slices of the
+    gathered row: a (..., 4, cg) reshape + einsum here forces a
+    transposed VMEM copy of every gathered row; the slice form measured
+    fastest (a fused 4x-tiled-weight matmul variant was 1.7x SLOWER —
+    the extra MACs and the weight-row broadcast cost more than the
+    copies saved)."""
+    return sum(g4[:, i * cg:(i + 1) * cg] * w.reshape(-1, 1)
+               for i, w in enumerate(ws))
+
+
+def _slab_bilinear(x4_g, dims, dtype, fy, fx):
+    """Bilinear sample from ONE (item, group) corner-packed slab.
+
+    x4_g: ((H+1)(W+1), 4*cg); fy/fx: (Ho, Wo). Returns (Ho, Wo, cg).
+    """
+    h, w, cg = dims
+    yc, xc, ws = _corner_rows_and_weights(fy, fx, h, w, dtype)
+    rows = yc * (w + 1) + xc
+    g4 = checkpoint_name(
+        jnp.take(x4_g, rows.reshape(-1), axis=0),  # (Ho*Wo, 4*cg)
+        'dcn_gather')
+    out = _combine_corners(g4, ws, cg)
     return out.reshape(fy.shape + (cg,))
 
 
@@ -259,39 +271,19 @@ def _deform_gather_tap_packed(x4, dims, dtype, fy, fx):
     x4: (N*dg*(H+1)*(W+1), 4*cg) slab-major per (item, group);
     fy/fx: (N,Ho,Wo,dg).
     Returns (N,Ho,Wo,dg,cg). Zero outside the [-1, dim] boundary like the
-    CUDA kernel (corners outside contribute 0): validity is judged on the
-    UNclipped corner coords, the row index on clipped ones, so a fully
-    out-of-range sample lands on a real row but is masked to zero.
+    CUDA kernel (corners outside contribute 0): a fully out-of-range
+    sample lands on a real row but is masked to zero
+    (_corner_rows_and_weights).
     """
     n, h, w, dg, cg = dims
-    y0 = jnp.floor(fy)
-    x0 = jnp.floor(fx)
-    wy1 = (fy - y0).astype(dtype)
-    wx1 = (fx - x0).astype(dtype)
-    wy0 = 1.0 - wy1
-    wx0 = 1.0 - wx1
-    vy0 = ((y0 >= 0) & (y0 <= h - 1)).astype(dtype)
-    vy1 = ((y0 >= -1) & (y0 <= h - 2)).astype(dtype)
-    vx0 = ((x0 >= 0) & (x0 <= w - 1)).astype(dtype)
-    vx1 = ((x0 >= -1) & (x0 <= w - 2)).astype(dtype)
-
-    yc = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
-    xc = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
+    yc, xc, ws = _corner_rows_and_weights(fy, fx, h, w, dtype)
     bidx = jnp.arange(n).reshape(n, 1, 1, 1)
     gidx = jnp.arange(dg).reshape(1, 1, 1, dg)
     rows = (bidx * dg + gidx) * ((h + 1) * (w + 1)) + yc * (w + 1) + xc
     g4 = checkpoint_name(
         jnp.take(x4, rows.reshape(-1), axis=0),  # (N*Ho*Wo*dg, 4*cg)
         'dcn_gather')
-
-    ws = (wy0 * wx0 * vy0 * vx0,
-          wy0 * wx1 * vy0 * vx1,
-          wy1 * wx0 * vy1 * vx0,
-          wy1 * wx1 * vy1 * vx1)
-    # lane-slice corner combine — see _slab_bilinear for why not a
-    # (..., 4, cg) reshape + einsum
-    out = sum(g4[:, i * cg:(i + 1) * cg] * w.reshape(-1, 1)
-              for i, w in enumerate(ws))
+    out = _combine_corners(g4, ws, cg)
     return out.reshape(fy.shape + (cg,))
 
 

@@ -32,16 +32,31 @@ def interpolate(x, scale_factor=None, size=None, mode='bilinear',
         return x[:, ys][:, :, xs]
 
     if not align_corners:
-        method = {'bilinear': 'bilinear', 'bicubic': 'bicubic'}[mode]
+        if mode == 'bicubic':
+            # jax.image.resize's cubic kernel is Keys A=-0.5; torch's
+            # F.interpolate uses A=-0.75 — build the exact torch
+            # resampling matrices instead (shapes are static under jit)
+            mh = jnp.asarray(resize_matrix_np(h, out_h, 'bicubic'),
+                             x.dtype)
+            mw = jnp.asarray(resize_matrix_np(w, out_w, 'bicubic'),
+                             x.dtype)
+            return apply_resize_matrices(x, mh, mw).astype(x.dtype)
+        if mode != 'bilinear':
+            raise NotImplementedError(f'interpolate mode {mode!r}')
         # antialias=False matches torch F.interpolate's plain (non-area)
         # kernel on downsampling as well as upsampling
-        return jax.image.resize(x, (n, out_h, out_w, c), method=method,
-                                antialias=False)
+        return jax.image.resize(x, (n, out_h, out_w, c),
+                                method='bilinear', antialias=False)
 
     # align_corners=True: src = dst * (in-1)/(out-1)
+    if mode == 'bicubic':
+        mh = jnp.asarray(_resize_matrix_ac_bicubic(h, out_h), x.dtype)
+        mw = jnp.asarray(_resize_matrix_ac_bicubic(w, out_w), x.dtype)
+        return apply_resize_matrices(x, mh, mw).astype(x.dtype)
     if mode != 'bilinear':
         raise NotImplementedError(
-            f'align_corners=True only implemented for bilinear, got {mode}')
+            f'align_corners=True only implemented for bilinear/bicubic, '
+            f'got {mode}')
     ys = jnp.linspace(0., h - 1., out_h)
     xs = jnp.linspace(0., w - 1., out_w)
     y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
@@ -98,6 +113,20 @@ def _cubic_torch(t):
         at <= 1, ((a + 2) * at - (a + 3)) * at * at + 1,
         _np.where(at < 2, (((at - 5) * at + 8) * at - 4) * a, 0.))
     return f
+
+
+def _resize_matrix_ac_bicubic(in_size, out_size):
+    """(out_size, in_size) torch bicubic align_corners=True matrix:
+    src = dst * (in-1)/(out-1), cubic kernel A=-0.75, border clamp."""
+    import numpy as _np
+    m = _np.zeros((out_size, in_size), _np.float32)
+    src = _np.arange(out_size) * (in_size - 1) / max(out_size - 1, 1)
+    i0 = _np.floor(src).astype(_np.int64)
+    for tap in range(-1, 3):
+        w = _cubic_torch(src - (i0 + tap))
+        for i in range(out_size):
+            m[i, _np.clip(i0[i] + tap, 0, in_size - 1)] += w[i]
+    return m
 
 
 def resize_matrix_np(in_size, out_size, mode):

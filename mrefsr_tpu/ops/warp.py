@@ -7,14 +7,16 @@ gathers so XLA autodiff yields the scatter-add backward.
 import jax.numpy as jnp
 
 
-def grid_sample(x, grid, align_corners=True, padding_mode='zeros'):
-    """Bilinear sampling of NHWC ``x`` at normalized coords ``grid``.
+def grid_sample(x, grid, align_corners=True, padding_mode='zeros',
+                mode='bilinear'):
+    """torch.grid_sample equivalent for NHWC ``x`` at normalized coords.
 
     Args:
         x: (N, H, W, C).
         grid: (N, Ho, Wo, 2) with last dim (x, y) in [-1, 1].
         align_corners: torch semantics for the [-1,1] -> pixel mapping.
-        padding_mode: 'zeros' or 'border'.
+        padding_mode: 'zeros' or 'border' (others raise).
+        mode: 'bilinear' or 'nearest'.
 
     Returns:
         (N, Ho, Wo, C)
@@ -29,12 +31,41 @@ def grid_sample(x, grid, align_corners=True, padding_mode='zeros'):
         fx = ((gx + 1) * w - 1) * 0.5
         fy = ((gy + 1) * h - 1) * 0.5
 
+    if mode == 'nearest':
+        return _nearest_sample(x, fy, fx, padding_mode)
+    if mode != 'bilinear':
+        raise NotImplementedError(f'grid_sample mode {mode!r}')
     return _bilinear_sample(x, fy, fx, padding_mode)
+
+
+def _nearest_sample(x, fy, fx, padding_mode='zeros'):
+    """Nearest sampling of NHWC ``x`` at float pixel coords (torch
+    grid_sample mode='nearest': round-half-away via floor(v+0.5))."""
+    _check_padding_mode(padding_mode)
+    n, h, w, _ = x.shape
+    yi = jnp.floor(fy + 0.5)
+    xi = jnp.floor(fx + 0.5)
+    yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+    xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+    bidx = jnp.arange(n).reshape(n, 1, 1)
+    vals = x[bidx, yc, xc]
+    if padding_mode == 'zeros':
+        valid = ((yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1))
+        vals = vals * valid[..., None].astype(x.dtype)
+    return vals
+
+
+def _check_padding_mode(padding_mode):
+    if padding_mode not in ('zeros', 'border'):
+        raise NotImplementedError(
+            f"padding_mode {padding_mode!r} not supported "
+            "(use 'zeros' or 'border')")
 
 
 def _bilinear_sample(x, fy, fx, padding_mode='zeros'):
     """Sample NHWC ``x`` at float pixel coords (fy, fx) of shape
     (N, Ho, Wo). Returns (N, Ho, Wo, C)."""
+    _check_padding_mode(padding_mode)
     n, h, w, _ = x.shape
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
@@ -76,12 +107,18 @@ def flow_warp(x, flow, interp_mode='bilinear', padding_mode='zeros',
                                   indexing='ij')
     fx = grid_x[None] + flow[..., 0]
     fy = grid_y[None] + flow[..., 1]
+    if interp_mode not in ('bilinear', 'nearest'):
+        raise NotImplementedError(
+            f'interp_mode {interp_mode!r} not supported')
     if not align_corners:
         # convert through normalized coords as torch does
         vx = 2.0 * fx / max(w - 1, 1) - 1.0
         vy = 2.0 * fy / max(h - 1, 1) - 1.0
         return grid_sample(x, jnp.stack([vx, vy], axis=-1),
-                           align_corners=False, padding_mode=padding_mode)
+                           align_corners=False, padding_mode=padding_mode,
+                           mode=interp_mode)
+    if interp_mode == 'nearest':
+        return _nearest_sample(x, fy, fx, padding_mode)
     return _bilinear_sample(x, fy, fx, padding_mode)
 
 

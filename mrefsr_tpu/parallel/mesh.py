@@ -15,14 +15,19 @@ _mesh = None
 
 
 def get_data_mesh(num_devices=None):
-    """Global 1-D data-parallel mesh (cached)."""
+    """1-D data-parallel mesh (cached by size).
+
+    num_devices=None means ALL addressable devices — a previously cached
+    truncated mesh (e.g. a model built with num_gpu < device count) is
+    NOT returned for a default request; the cache rebuilds whenever the
+    requested size differs. Models keep their own ``self.mesh`` handle,
+    so a rebuild never changes an existing model's sharding."""
     global _mesh
-    if _mesh is None or (num_devices is not None
-                         and _mesh.devices.size != num_devices):
-        devices = jax.devices()
-        if num_devices is not None:
-            devices = devices[:num_devices]
-        _mesh = Mesh(np.array(devices), ('data',))
+    devices = jax.devices()
+    want = len(devices) if num_devices is None \
+        else min(int(num_devices), len(devices))
+    if _mesh is None or _mesh.devices.size != want:
+        _mesh = Mesh(np.array(devices[:want]), ('data',))
     return _mesh
 
 

@@ -96,6 +96,18 @@ def test_lpips_parity_vs_torch(tmp_path):
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4,
                                atol=2e-5)
 
+    # calculate_lpips receives BGR images (tensor2img validation
+    # convention) — regression: it used to feed them to the RGB tower
+    # channel-swapped
+    from mrefsr_tpu.metrics import calculate_lpips
+    x_rgb = (x.numpy().transpose(0, 2, 3, 1)[0] + 1) / 2 * 255
+    y_rgb = (y.numpy().transpose(0, 2, 3, 1)[0] + 1) / 2 * 255
+    val = calculate_lpips(x_rgb[..., ::-1], y_rgb[..., ::-1],
+                          crop_border=0,
+                          lpips_weights=str(tmp_path / 'lpips_vgg.pth'),
+                          vgg16_weights=str(tmp_path / 'vgg16.pth'))
+    np.testing.assert_allclose(val, ref[0], rtol=2e-4, atol=2e-5)
+
 
 def test_calculate_lpips_requires_weights():
     from mrefsr_tpu.metrics import calculate_lpips

@@ -41,6 +41,56 @@ def test_interpolate_nearest():
     np.testing.assert_allclose(mine, theirs, atol=0)
 
 
+@pytest.mark.parametrize('scale', [2, 0.5])
+def test_interpolate_bicubic_matches_torch(scale):
+    """Regression: this path used jax.image.resize, whose cubic kernel
+    is Keys A=-0.5 while torch F.interpolate uses A=-0.75 — converted
+    checkpoints (e.g. BasicVSR++ with is_low_res_input=False) diverged."""
+    x = RNG.rand(2, 8, 10, 3).astype(np.float32)
+    mine = np.asarray(interpolate(jnp.asarray(x), scale_factor=scale,
+                                  mode='bicubic', align_corners=False))
+    theirs = to_np_nhwc(F.interpolate(to_torch_nchw(x), scale_factor=scale,
+                                      mode='bicubic', align_corners=False))
+    np.testing.assert_allclose(mine, theirs, atol=1e-5)
+
+
+@pytest.mark.parametrize('scale', [2, 0.5])
+def test_interpolate_bicubic_align_corners_matches_torch(scale):
+    x = RNG.rand(1, 8, 10, 2).astype(np.float32)
+    mine = np.asarray(interpolate(jnp.asarray(x), scale_factor=scale,
+                                  mode='bicubic', align_corners=True))
+    theirs = to_np_nhwc(F.interpolate(to_torch_nchw(x), scale_factor=scale,
+                                      mode='bicubic', align_corners=True))
+    np.testing.assert_allclose(mine, theirs, atol=1e-5)
+
+
+def test_flow_warp_nearest_and_padding_validation():
+    """Regression: interp_mode was accepted and ignored (nearest
+    silently sampled bilinearly) and unknown padding modes silently
+    clamped like 'border'."""
+    x = RNG.rand(1, 6, 7, 2).astype(np.float32)
+    flow = (RNG.rand(1, 6, 7, 2).astype(np.float32) - 0.5) * 3
+    mine = np.asarray(flow_warp(jnp.asarray(x), jnp.asarray(flow),
+                                interp_mode='nearest'))
+    # torch reference: grid + flow normalized, grid_sample nearest
+    tx = to_torch_nchw(x)
+    gy, gx = torch.meshgrid(torch.arange(6), torch.arange(7),
+                            indexing='ij')
+    grid = torch.stack([gx, gy], dim=-1).float()[None] + \
+        torch.from_numpy(flow)
+    grid[..., 0] = 2.0 * grid[..., 0] / 6 - 1.0
+    grid[..., 1] = 2.0 * grid[..., 1] / 5 - 1.0
+    theirs = to_np_nhwc(F.grid_sample(tx, grid, mode='nearest',
+                                      padding_mode='zeros',
+                                      align_corners=True))
+    np.testing.assert_allclose(mine, theirs, atol=0)
+    with pytest.raises(NotImplementedError):
+        flow_warp(jnp.asarray(x), jnp.asarray(flow),
+                  padding_mode='reflection')
+    with pytest.raises(NotImplementedError):
+        flow_warp(jnp.asarray(x), jnp.asarray(flow), interp_mode='bicubic')
+
+
 def test_interpolate_size_arg():
     x = RNG.rand(1, 7, 9, 2).astype(np.float32)
     mine = np.asarray(interpolate(jnp.asarray(x), size=(5, 6),

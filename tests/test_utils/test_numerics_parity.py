@@ -102,6 +102,26 @@ def test_jax_psnr_ssim_close_to_numpy():
     assert abs(ssim_np - ssim_j) < 1e-3
 
 
+def test_pt_alias_accepts_registry_images():
+    """Regression: calculate_psnr_pt/ssim_pt were plain aliases of the
+    NHWC-[0,1] jax variants and crashed on the HWC BGR uint8 images the
+    validation loop actually dispatches."""
+    from mrefsr_tpu.utils.registry import METRIC_REGISTRY
+    a8 = RNG.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    b8 = np.clip(a8.astype(int) +
+                 RNG.randint(-10, 10, (32, 32, 3)), 0, 255).astype(
+        np.uint8)
+    for alias, ref_fn, tol in (('calculate_psnr_pt', calculate_psnr,
+                                0.01),
+                               ('calculate_ssim_pt', calculate_ssim,
+                                1e-3)):
+        fn = METRIC_REGISTRY.get(alias)
+        got = fn(a8, b8, crop_border=4, test_y_channel=True)
+        want = ref_fn(a8, b8, crop_border=4, test_y_channel=True)
+        assert isinstance(got, float)
+        assert abs(got - want) < tol, (alias, got, want)
+
+
 def test_ycbcr_roundtrip():
     img = RNG.rand(8, 8, 3).astype(np.float32)
     back = ycbcr2rgb(rgb2ycbcr(img))
