@@ -224,15 +224,45 @@ def lazy_file_client(io_backend_opt):
     return FileClient(opt.pop('type'), **opt)
 
 
+_file_client_lock = None
+
+
+def ensure_file_client(dataset):
+    """Construct ``dataset.file_client`` exactly once across loader
+    threads (double-checked lock): the bare
+    ``if self.file_client is None: self.file_client = ...`` pattern let
+    every first-batch worker thread build its own client, leaking the
+    losers' lmdb environments / pack mmaps."""
+    if dataset.file_client is None:
+        global _file_client_lock
+        if _file_client_lock is None:
+            import threading
+            _file_client_lock = threading.Lock()
+        with _file_client_lock:
+            if dataset.file_client is None:
+                dataset.file_client = lazy_file_client(
+                    dataset.io_backend_opt)
+    return dataset.file_client
+
+
 def match_point_crop(img, center_xy, gt_h, gt_w):
     """Crop a (gt_h, gt_w) window centered on an annotated match point,
     clamped inside the image. The reference slices raw CSV coordinates
     (multi_ref_dataset.py:82-86) — a point nearer than half the window
     to the top/left border silently produces a numpy-wrapped/empty
     crop; clamping is identical for interior points (the only case the
-    curated annotations produce) and correct on the boundary."""
+    curated annotations produce) and correct on the boundary. An image
+    smaller than the window raises instead of silently returning an
+    under-sized crop (which would crash np.stack or desync the gt/lq
+    scale downstream). Odd window sizes take the full gt size (the
+    reference's y-g//2:y+g//2 slice yields gt-1; only even sizes are
+    exercised)."""
     h, w = img.shape[:2]
+    if h < gt_h or w < gt_w:
+        raise ValueError(
+            f'match_point_crop: image ({h}x{w}) smaller than the crop '
+            f'window ({gt_h}x{gt_w})')
     x, y = int(center_xy[0]), int(center_xy[1])
-    y0 = min(max(y - gt_h // 2, 0), max(h - gt_h, 0))
-    x0 = min(max(x - gt_w // 2, 0), max(w - gt_w, 0))
+    y0 = min(max(y - gt_h // 2, 0), h - gt_h)
+    x0 = min(max(x - gt_w // 2, 0), w - gt_w)
     return img[y0:y0 + gt_h, x0:x0 + gt_w]

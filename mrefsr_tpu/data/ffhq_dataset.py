@@ -7,10 +7,10 @@ from os import path as osp
 
 import numpy as np
 
-from mrefsr_tpu.utils import (FileClient, get_root_logger, imfrombytes,
+from mrefsr_tpu.utils import (get_root_logger, imfrombytes,
                               img2tensor)
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
-from mrefsr_tpu.data.data_util import lazy_file_client
+from mrefsr_tpu.data.data_util import ensure_file_client
 
 from .transforms import augment
 
@@ -22,7 +22,7 @@ class FFHQDataset:
     def __init__(self, opt):
         self.opt = opt
         self.file_client = None
-        self.io_backend_opt = opt['io_backend']
+        self.io_backend_opt = dict(opt['io_backend'])
         self.gt_folder = opt['dataroot_gt']
         self.mean = opt['mean']
         self.std = opt['std']
@@ -43,8 +43,7 @@ class FFHQDataset:
                                 for v in scandir(self.gt_folder))
 
     def __getitem__(self, index):
-        if self.file_client is None:
-            self.file_client = lazy_file_client(self.io_backend_opt)
+        ensure_file_client(self)
 
         gt_path = self.paths[index]
         retry = 3

@@ -7,8 +7,8 @@ from mrefsr_tpu.data.data_util import (paired_paths_from_folder,
                                        paired_paths_from_lmdb,
                                        paired_paths_from_meta_info_file)
 from mrefsr_tpu.data.transforms import augment, paired_random_crop
-from mrefsr_tpu.utils import FileClient, imfrombytes, img2tensor, rgb2ycbcr
-from mrefsr_tpu.data.data_util import lazy_file_client
+from mrefsr_tpu.utils import imfrombytes, img2tensor, rgb2ycbcr
+from mrefsr_tpu.data.data_util import ensure_file_client
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
 
 
@@ -43,8 +43,7 @@ class PairedImageDataset:
                 self.filename_tmpl)
 
     def __getitem__(self, index):
-        if self.file_client is None:
-            self.file_client = lazy_file_client(self.io_backend_opt)
+        ensure_file_client(self)
 
         scale = self.opt['scale']
 
@@ -118,8 +117,7 @@ class SingleImageDataset:
             self.paths = sorted(paths_from_folder(self.lq_folder))
 
     def __getitem__(self, index):
-        if self.file_client is None:
-            self.file_client = lazy_file_client(self.io_backend_opt)
+        ensure_file_client(self)
 
         lq_path = self.paths[index]
         img_lq = imfrombytes(self.file_client.get(lq_path, 'lq'),

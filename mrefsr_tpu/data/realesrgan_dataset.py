@@ -15,10 +15,10 @@ import time
 import cv2
 import numpy as np
 
-from mrefsr_tpu.utils import (FileClient, get_root_logger, imfrombytes,
+from mrefsr_tpu.utils import (get_root_logger, imfrombytes,
                               img2tensor)
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
-from mrefsr_tpu.data.data_util import lazy_file_client
+from mrefsr_tpu.data.data_util import ensure_file_client
 
 from .data_util import paired_paths_from_folder, paired_paths_from_lmdb
 from .degradations import circular_lowpass_kernel, random_mixed_kernels
@@ -33,7 +33,7 @@ class RealESRGANDataset:
     def __init__(self, opt):
         self.opt = opt
         self.file_client = None
-        self.io_backend_opt = opt['io_backend']
+        self.io_backend_opt = dict(opt['io_backend'])
         self.gt_folder = opt['dataroot_gt']
 
         if self.io_backend_opt['type'] == 'lmdb':
@@ -98,8 +98,7 @@ class RealESRGANDataset:
                       ((pad_size, pad_size), (pad_size, pad_size)))
 
     def __getitem__(self, index):
-        if self.file_client is None:
-            self.file_client = lazy_file_client(self.io_backend_opt)
+        ensure_file_client(self)
 
         gt_path = self.paths[index]
         retry = 3
@@ -179,7 +178,7 @@ class RealESRGANPairedDataset:
     def __init__(self, opt):
         self.opt = opt
         self.file_client = None
-        self.io_backend_opt = opt['io_backend']
+        self.io_backend_opt = dict(opt['io_backend'])
         self.mean = opt.get('mean')
         self.std = opt.get('std')
 
@@ -208,8 +207,7 @@ class RealESRGANPairedDataset:
                 self.filename_tmpl)
 
     def __getitem__(self, index):
-        if self.file_client is None:
-            self.file_client = lazy_file_client(self.io_backend_opt)
+        ensure_file_client(self)
 
         scale = self.opt['scale']
         gt_path = self.paths[index]['gt_path']

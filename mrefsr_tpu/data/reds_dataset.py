@@ -8,11 +8,11 @@ from pathlib import Path
 
 import numpy as np
 
-from mrefsr_tpu.utils import (FileClient, get_root_logger, imfrombytes,
+from mrefsr_tpu.utils import (get_root_logger, imfrombytes,
                               img2tensor)
 from mrefsr_tpu.utils.flow_util import dequantize_flow
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
-from mrefsr_tpu.data.data_util import lazy_file_client
+from mrefsr_tpu.data.data_util import ensure_file_client
 
 from .transforms import augment, paired_random_crop
 
@@ -46,7 +46,7 @@ class REDSDataset:
                      if v.split('/')[0] not in val_partition]
 
         self.file_client = None
-        self.io_backend_opt = opt['io_backend']
+        self.io_backend_opt = dict(opt['io_backend'])
         self.is_lmdb = False
         if self.io_backend_opt['type'] == 'lmdb':
             self.is_lmdb = True
@@ -67,8 +67,7 @@ class REDSDataset:
             f'random reverse is {self.random_reverse}.')
 
     def __getitem__(self, index):
-        if self.file_client is None:
-            self.file_client = lazy_file_client(self.io_backend_opt)
+        ensure_file_client(self)
 
         scale = self.opt['scale']
         gt_size = self.opt['gt_size']
@@ -197,7 +196,7 @@ class REDSRecurrentDataset:
                          if v.split('/')[0] not in val_partition]
 
         self.file_client = None
-        self.io_backend_opt = opt['io_backend']
+        self.io_backend_opt = dict(opt['io_backend'])
         self.is_lmdb = self.io_backend_opt['type'] == 'lmdb'
         if self.is_lmdb:
             self.io_backend_opt['db_paths'] = [self.lq_root, self.gt_root]
@@ -207,8 +206,7 @@ class REDSRecurrentDataset:
         self.random_reverse = opt.get('random_reverse', False)
 
     def __getitem__(self, index):
-        if self.file_client is None:
-            self.file_client = lazy_file_client(self.io_backend_opt)
+        ensure_file_client(self)
 
         scale = self.opt['scale']
         gt_size = self.opt['gt_size']

@@ -6,8 +6,8 @@ import cv2
 import numpy as np
 from PIL import Image
 
-from mrefsr_tpu.utils import FileClient, img2tensor
-from mrefsr_tpu.data.data_util import lazy_file_client
+from mrefsr_tpu.utils import img2tensor
+from mrefsr_tpu.data.data_util import ensure_file_client
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
 
 from .data_util import (paired_paths_from_ann_file,
@@ -81,7 +81,7 @@ class RefCUFEDDataset:
     def __init__(self, opt):
         self.opt = opt
         self.file_client = None
-        self.io_backend_opt = opt['io_backend']
+        self.io_backend_opt = dict(opt['io_backend'])
         self.in_folder = opt['dataroot_in']
         self.ref_folder = opt['dataroot_ref']
         self.filename_tmpl = opt.get('filename_tmpl', '{}')
@@ -102,8 +102,7 @@ class RefCUFEDDataset:
                 self.filename_tmpl)
 
     def _load_pair(self, index):
-        if self.file_client is None:
-            self.file_client = lazy_file_client(self.io_backend_opt)
+        ensure_file_client(self)
         in_path = self.paths[index]['in_path']
         img_in = cv2.imdecode(
             np.frombuffer(self.file_client.get(in_path, 'in'), np.uint8),

@@ -27,7 +27,7 @@ class VideoTestDataset:
         self.data_info = {'lq_path': [], 'gt_path': [], 'folder': [],
                           'idx': [], 'border': []}
         self.file_client = None
-        self.io_backend_opt = opt['io_backend']
+        self.io_backend_opt = dict(opt['io_backend'])
         assert self.io_backend_opt['type'] != 'lmdb', \
             'No need to use lmdb during validation/test.'
 
@@ -133,7 +133,7 @@ class VideoTestVimeo90KDataset:
                          for i in range(opt['num_frame'])]
 
         self.file_client = None
-        self.io_backend_opt = opt['io_backend']
+        self.io_backend_opt = dict(opt['io_backend'])
         assert self.io_backend_opt['type'] != 'lmdb', \
             'No need to use lmdb during validation/test.'
 

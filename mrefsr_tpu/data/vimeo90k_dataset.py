@@ -8,10 +8,10 @@ from pathlib import Path
 
 import numpy as np
 
-from mrefsr_tpu.utils import FileClient, get_root_logger, imfrombytes, \
+from mrefsr_tpu.utils import get_root_logger, imfrombytes, \
     img2tensor
 from mrefsr_tpu.utils.registry import DATASET_REGISTRY
-from mrefsr_tpu.data.data_util import lazy_file_client
+from mrefsr_tpu.data.data_util import ensure_file_client
 
 from .transforms import augment, paired_random_crop
 
@@ -30,7 +30,7 @@ class Vimeo90KDataset:
             self.keys = [line.split(' ')[0] for line in fin]
 
         self.file_client = None
-        self.io_backend_opt = opt['io_backend']
+        self.io_backend_opt = dict(opt['io_backend'])
         self.is_lmdb = self.io_backend_opt['type'] == 'lmdb'
         if self.is_lmdb:
             self.io_backend_opt['db_paths'] = [self.lq_root, self.gt_root]
@@ -44,11 +44,15 @@ class Vimeo90KDataset:
         get_root_logger().info(f'Random reverse is {self.random_reverse}.')
 
     def __getitem__(self, index):
-        if self.file_client is None:
-            self.file_client = lazy_file_client(self.io_backend_opt)
+        ensure_file_client(self)
 
+        # LOCAL copy: our loader workers are threads sharing this
+        # dataset object — reversing self.neighbor_list in place (the
+        # reference's pattern, safe only with process workers) scrambles
+        # a concurrent worker's frame order mid-iteration
+        neighbor_list = list(self.neighbor_list)
         if self.random_reverse and random.random() < 0.5:
-            self.neighbor_list.reverse()
+            neighbor_list.reverse()
 
         scale = self.opt['scale']
         gt_size = self.opt['gt_size']
@@ -63,7 +67,7 @@ class Vimeo90KDataset:
                              float32=True)
 
         img_lqs = []
-        for neighbor in self.neighbor_list:
+        for neighbor in neighbor_list:
             if self.is_lmdb:
                 img_lq_path = f'{clip}/{seq}/im{neighbor}'
             else:
@@ -97,11 +101,15 @@ class Vimeo90KRecurrentDataset(Vimeo90KDataset):
         self.neighbor_list = [1, 2, 3, 4, 5, 6, 7]
 
     def __getitem__(self, index):
-        if self.file_client is None:
-            self.file_client = lazy_file_client(self.io_backend_opt)
+        ensure_file_client(self)
 
+        # LOCAL copy: our loader workers are threads sharing this
+        # dataset object — reversing self.neighbor_list in place (the
+        # reference's pattern, safe only with process workers) scrambles
+        # a concurrent worker's frame order mid-iteration
+        neighbor_list = list(self.neighbor_list)
         if self.random_reverse and random.random() < 0.5:
-            self.neighbor_list.reverse()
+            neighbor_list.reverse()
 
         scale = self.opt['scale']
         gt_size = self.opt['gt_size']
@@ -109,7 +117,7 @@ class Vimeo90KRecurrentDataset(Vimeo90KDataset):
         clip, seq = key.split('/')
 
         img_lqs, img_gts = [], []
-        for neighbor in self.neighbor_list:
+        for neighbor in neighbor_list:
             if self.is_lmdb:
                 img_lq_path = f'{clip}/{seq}/im{neighbor}'
                 img_gt_path = f'{clip}/{seq}/im{neighbor}'
