@@ -50,20 +50,25 @@ class ResidualBlockNoBN(nn.Module):
     """Conv-ReLU-Conv residual block (reference arch_util.py:89-117).
 
     Weights kaiming-init scaled 0.1 like the reference unless
-    pytorch_init.
+    pytorch_init; kernel_init overrides both (the MRefSR nets re-init
+    every conv to N(0, 0.02) via srntt_init_weights).
     """
     num_feat: int = 64
     res_scale: float = 1.0
     pytorch_init: bool = False
+    kernel_init: object = None
 
     @nn.compact
     def __call__(self, x):
         # pytorch_init=True means torch Conv2d's default
         # kaiming_uniform(a=sqrt(5)) = variance 1/(3*fan_in) — NOT
         # lecun (1/fan_in); matches DCNv2Pack's encoding below
-        init = (nn.initializers.variance_scaling(1 / 3, 'fan_in',
-                                                 'uniform')
-                if self.pytorch_init else default_init(0.1))
+        if self.kernel_init is not None:
+            init = self.kernel_init
+        else:
+            init = (nn.initializers.variance_scaling(1 / 3, 'fan_in',
+                                                     'uniform')
+                    if self.pytorch_init else default_init(0.1))
         identity = x
         out = nn.Conv(self.num_feat, (3, 3), padding=1, kernel_init=init,
                       name='conv1')(x)

@@ -39,20 +39,6 @@ def adaptive_instance_normalization(content_feat, style_feat):
     return normalized * style_std + style_mean
 
 
-class AttentionBlock(nn.Module):
-    """SNConv-lrelu-SNConv (reference dfdnet_util.py:92-95). Children
-    named 0/2 like the torch Sequential."""
-    channels: int
-    prefix: str = ''
-
-    @nn.compact
-    def __call__(self, x):
-        p = self.prefix
-        x = SNConv(self.channels, (3, 3), padding=1, name=f'{p}0')(x)
-        x = jax.nn.leaky_relu(x, 0.2)
-        return SNConv(self.channels, (3, 3), padding=1, name=f'{p}2')(x)
-
-
 class MSDilationBlock(nn.Module):
     """Multi-scale dilation block (reference dfdnet_util.py:122-146)."""
     in_channels: int
@@ -67,25 +53,15 @@ class MSDilationBlock(nn.Module):
             d = self.dilation[i]
             pad = ((k - 1) // 2) * d
             y = SNConv(self.in_channels, (k, k), padding=pad,
-                       name=f'conv_blocks.{i}.0')(x) \
-                if d == 1 else self._dilated(x, d, pad,
-                                             f'conv_blocks.{i}.0')
+                       kernel_dilation=d, name=f'conv_blocks.{i}.0')(x)
             y = jax.nn.leaky_relu(y, 0.2)
             y = SNConv(self.in_channels, (k, k), padding=pad,
-                       name=f'conv_blocks.{i}.2')(y) \
-                if d == 1 else self._dilated(y, d, pad,
-                                             f'conv_blocks.{i}.2')
+                       kernel_dilation=d, name=f'conv_blocks.{i}.2')(y)
             outs.append(y)
         out = jnp.concatenate(outs, axis=-1)
         out = SNConv(self.in_channels, (k, k), padding=(k - 1) // 2,
                      name='conv_fusion')(out)
         return out + x
-
-    def _dilated(self, x, dilation, pad, name):
-        from .hifacegan_util import SNConv
-        return SNConv(self.in_channels,
-                      (self.kernel_size, self.kernel_size), padding=pad,
-                      kernel_dilation=dilation, name=name)(x)
 
 
 class UpResBlock(nn.Module):

@@ -3,9 +3,13 @@
 Behavioral rebuild of reference basicsr/archs/discriminator_arch.py:
 ImageDiscriminator (SRNTT-style, used by the Ref models' GAN stage),
 VGGStyleDiscriminator (SRGAN/ESRGAN), UNetDiscriminatorSN (Real-ESRGAN).
-"""
-from typing import Any
 
+All three take a call-time ``train`` flag: the reference runs its
+discriminators in train() mode during GAN training, so BatchNorm must
+normalize by batch statistics (and update running stats when the
+'batch_stats' collection is mutable) and spectral norm must run its
+power iteration (when 'spectral' is mutable).
+"""
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -14,21 +18,11 @@ from mrefsr_tpu.ops import interpolate
 from mrefsr_tpu.utils.registry import ARCH_REGISTRY
 
 from .arch_util import srntt_normal_init
+from .hifacegan_util import SNConv
 
 
 def _lrelu2(x):
     return jax.nn.leaky_relu(x, 0.2)
-
-
-class _BN(nn.Module):
-    """BatchNorm matching torch defaults (momentum 0.1 -> flax momentum
-    0.9, eps 1e-5)."""
-    use_running_average: bool = True
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.BatchNorm(use_running_average=self.use_running_average,
-                            momentum=0.9, epsilon=1e-5, name='bn')(x)
 
 
 @ARCH_REGISTRY.register()
@@ -41,9 +35,9 @@ class ImageDiscriminator(nn.Module):
     train_mode: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train=False):
         init = srntt_normal_init(0.02)
-        ura = not self.train_mode
+        ura = not (train or self.train_mode)
 
         def conv_block(v, out_ch, prefix):
             v = nn.Conv(out_ch, (3, 3), padding=1, kernel_init=init,
@@ -82,10 +76,10 @@ class VGGStyleDiscriminator(nn.Module):
     train_mode: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train=False):
         assert x.shape[1] == self.input_size, (
             f'input size must be {self.input_size}, got {x.shape}')
-        ura = not self.train_mode
+        ura = not (train or self.train_mode)
 
         def cbl(v, out_ch, idx, sub, stride, use_bias=False, with_bn=True):
             v = nn.Conv(out_ch, (4, 4) if stride == 2 else (3, 3),
@@ -116,48 +110,51 @@ class VGGStyleDiscriminator(nn.Module):
 @ARCH_REGISTRY.register()
 class UNetDiscriminatorSN(nn.Module):
     """U-Net discriminator with spectral norm
-    (reference discriminator_arch.py:128-186).
+    (reference discriminator_arch.py:128-186: conv1..conv8 are wrapped
+    in torch spectral_norm; conv0/conv9 are plain).
 
-    Spectral normalization runs in the train step via
-    ``nn.SpectralNorm``-style power iteration; for inference the raw
-    kernels are used (torch's SN folds into the weight at eval).
+    SNConv keeps u/v in the 'spectral' collection: marking it mutable
+    runs one torch-order power iteration per forward (train behavior);
+    otherwise the stored vectors are used (eval). Reference .pth files
+    import directly (weight_orig -> kernel, weight_u/v -> spectral).
     """
     num_in_ch: int = 3
     num_feat: int = 64
     skip_connection: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train=False):
+        del train  # SN is driven by the 'spectral' collection mutability
         nf = self.num_feat
         x0 = _lrelu2(nn.Conv(nf, (3, 3), padding=1, name='conv0')(x))
-        x1 = _lrelu2(nn.Conv(nf * 2, (4, 4), strides=(2, 2), padding=1,
-                             use_bias=False, name='conv1')(x0))
-        x2 = _lrelu2(nn.Conv(nf * 4, (4, 4), strides=(2, 2), padding=1,
-                             use_bias=False, name='conv2')(x1))
-        x3 = _lrelu2(nn.Conv(nf * 8, (4, 4), strides=(2, 2), padding=1,
-                             use_bias=False, name='conv3')(x2))
+        x1 = _lrelu2(SNConv(nf * 2, (4, 4), strides=2, padding=1,
+                            use_bias=False, name='conv1')(x0))
+        x2 = _lrelu2(SNConv(nf * 4, (4, 4), strides=2, padding=1,
+                            use_bias=False, name='conv2')(x1))
+        x3 = _lrelu2(SNConv(nf * 8, (4, 4), strides=2, padding=1,
+                            use_bias=False, name='conv3')(x2))
 
         x3 = interpolate(x3, scale_factor=2, mode='bilinear',
                          align_corners=False)
-        x4 = _lrelu2(nn.Conv(nf * 4, (3, 3), padding=1, use_bias=False,
-                             name='conv4')(x3))
+        x4 = _lrelu2(SNConv(nf * 4, (3, 3), padding=1, use_bias=False,
+                            name='conv4')(x3))
         if self.skip_connection:
             x4 = x4 + x2
         x4 = interpolate(x4, scale_factor=2, mode='bilinear',
                          align_corners=False)
-        x5 = _lrelu2(nn.Conv(nf * 2, (3, 3), padding=1, use_bias=False,
-                             name='conv5')(x4))
+        x5 = _lrelu2(SNConv(nf * 2, (3, 3), padding=1, use_bias=False,
+                            name='conv5')(x4))
         if self.skip_connection:
             x5 = x5 + x1
         x5 = interpolate(x5, scale_factor=2, mode='bilinear',
                          align_corners=False)
-        x6 = _lrelu2(nn.Conv(nf, (3, 3), padding=1, use_bias=False,
-                             name='conv6')(x5))
+        x6 = _lrelu2(SNConv(nf, (3, 3), padding=1, use_bias=False,
+                            name='conv6')(x5))
         if self.skip_connection:
             x6 = x6 + x0
 
-        out = _lrelu2(nn.Conv(nf, (3, 3), padding=1, use_bias=False,
-                              name='conv7')(x6))
-        out = _lrelu2(nn.Conv(nf, (3, 3), padding=1, use_bias=False,
-                              name='conv8')(out))
+        out = _lrelu2(SNConv(nf, (3, 3), padding=1, use_bias=False,
+                             name='conv7')(x6))
+        out = _lrelu2(SNConv(nf, (3, 3), padding=1, use_bias=False,
+                             name='conv8')(out))
         return nn.Conv(1, (3, 3), padding=1, name='conv9')(out)

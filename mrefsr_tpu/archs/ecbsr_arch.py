@@ -90,6 +90,11 @@ class SeqConv3x3(nn.Module):
             mask = self.param(
                 'mask',
                 lambda key: jnp.asarray(_edge_mask(self.seq_type, cout)))
+            # the Sobel/Laplacian mask is a FIXED prior: the reference
+            # registers it with requires_grad=False (ecbsr_arch.py:
+            # 57/79/100); kept as a param for .pth key parity but cut
+            # out of the gradient so Adam never updates it
+            mask = jax.lax.stop_gradient(mask)
             tmp = scale * mask  # (cout, 1, 3, 3) depthwise kernel
             rep_w = jnp.einsum('ohw,oi->oihw', tmp[:, 0], k0[:, :, 0, 0])
             rep_b = tmp[:, 0].sum(axis=(1, 2)) * b0 + bias

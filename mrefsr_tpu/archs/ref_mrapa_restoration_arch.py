@@ -103,11 +103,16 @@ class ContentExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # the reference's srntt_init_weights(self, 'normal', 0.02) runs
+        # over the WHOLE net (ref_mrapa_restoration_arch.py:111) AFTER
+        # ContentExtractor's default_init — every conv, residual blocks
+        # included, starts at N(0, 0.02)
         feat = _lrelu(nn.Conv(self.nf, (3, 3), padding=1,
                               kernel_init=srntt_normal_init(0.02),
                               name='conv_first')(x))
         return run_blocks(feat, ResidualBlockNoBN, self.n_blocks, 'body',
-                          num_feat=self.nf)
+                          num_feat=self.nf,
+                          kernel_init=srntt_normal_init(0.02))
 
 
 class MRAPAFusion(nn.Module):
@@ -236,8 +241,9 @@ def _scale_stage(mdl, x, pre_offset, ref_feat, nf, ref_nf, n_blocks,
 
     fusion_cls = nn.remat(MRAPAFusion)
     h = fusion_cls(nf=nf, ref_nf=ref_nf, name=f'head_{p}')(x, swapped)
+    # srntt_init_weights covers these blocks too (see ContentExtractor)
     h = run_blocks(h, ResidualBlockNoBN, n_blocks, f'body_{p}',
-                   num_feat=nf) + x
+                   num_feat=nf, kernel_init=init) + x
 
     if p in ('small', 'medium'):
         h = nn.Conv(nf * 4, (3, 3), padding=1, kernel_init=init,

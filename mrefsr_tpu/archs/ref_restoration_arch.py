@@ -41,8 +41,9 @@ def _scale_stage(x, pre_offset, ref_feat, nf, ref_nf, n_blocks, groups,
     h = jnp.concatenate([x, swapped], axis=-1)
     h = _lrelu(nn.Conv(nf, (3, 3), padding=1, kernel_init=init,
                        name=f'head_{p}.0')(h))
+    # srntt_init_weights covers these blocks too (reference :111)
     h = run_blocks(h, ResidualBlockNoBN, n_blocks, f'body_{p}',
-                   num_feat=nf) + x
+                   num_feat=nf, kernel_init=init) + x
 
     if p in ('small', 'medium'):
         h = nn.Conv(nf * 4, (3, 3), padding=1, kernel_init=init,

@@ -324,8 +324,18 @@ class StyleGAN2Generator(nn.Module):
                 latent = styles[0]
         elif len(styles) == 2:
             if inject_index is None:
-                import random as _pyrandom
-                inject_index = _pyrandom.randint(1, self.num_latent - 1)
+                if self.has_rng('mixing'):
+                    # per-call crossover point even under jit
+                    inject_index = jax.random.randint(
+                        self.make_rng('mixing'), (), 1, self.num_latent)
+                else:
+                    # trace-time draw: under jit this bakes ONE
+                    # crossover point into the compiled graph — pass
+                    # inject_index (the in-repo model does) or supply a
+                    # 'mixing' rng for per-step style mixing
+                    import random as _pyrandom
+                    inject_index = _pyrandom.randint(
+                        1, self.num_latent - 1)
             l1 = jnp.repeat(styles[0][:, None], self.num_latent, axis=1)
             l2 = jnp.repeat(styles[1][:, None], self.num_latent, axis=1)
             mask = (jnp.arange(self.num_latent) <

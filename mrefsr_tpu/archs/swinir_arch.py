@@ -6,9 +6,11 @@ blocks.{j}.attn.qkv ...) for .pth import; deterministic buffers
 (relative_position_index, attn_mask) are recomputed instead of loaded.
 
 TPU notes: window partition/reverse are pure reshapes; the attention is
-einsum-based and padded windows keep shapes static. Dropout/drop-path are
-inference-identity (rates kept for config parity — SR checkpoints ship
-with drop_rate 0).
+einsum-based and padded windows keep shapes static. Stochastic depth
+(drop_path_rate, linearly increasing per block like the reference) runs
+when a 'droppath' rng is supplied at apply — SRModel's train step does
+this automatically; inference is identity like torch eval. drop_rate /
+attn_drop_rate are inference-identity (SR checkpoints ship with 0).
 """
 from typing import Any, Sequence, Tuple
 
@@ -164,6 +166,19 @@ class SwinTransformerBlock(nn.Module):
     mlp_ratio: float = 4.
     qkv_bias: bool = True
     qk_scale: float = None
+    drop_path: float = 0.
+
+    def _drop_path(self, v):
+        """Per-sample stochastic depth (reference timm DropPath used at
+        :259): active only when a 'droppath' rng is supplied (training);
+        identity at inference like torch eval."""
+        if self.drop_path <= 0. or not self.has_rng('droppath'):
+            return v
+        keep = 1.0 - self.drop_path
+        shape = (v.shape[0],) + (1,) * (v.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng('droppath'), keep,
+                                    shape)
+        return v * mask.astype(v.dtype) / keep
 
     @nn.compact
     def __call__(self, x, x_size):
@@ -205,9 +220,10 @@ class SwinTransformerBlock(nn.Module):
             x = shifted_x
         x = x.reshape(b, h * w, c)
 
-        x = shortcut + x
-        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                    name='mlp')(TorchLayerNorm(name='norm2')(x))
+        x = shortcut + self._drop_path(x)
+        x = x + self._drop_path(
+            Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                name='mlp')(TorchLayerNorm(name='norm2')(x)))
         return x
 
 
@@ -221,6 +237,7 @@ class BasicLayer(nn.Module):
     mlp_ratio: float = 4.
     qkv_bias: bool = True
     qk_scale: float = None
+    drop_path: Sequence[float] = ()
 
     @nn.compact
     def __call__(self, x, x_size):
@@ -230,6 +247,7 @@ class BasicLayer(nn.Module):
                 self.window_size,
                 0 if i % 2 == 0 else self.window_size // 2,
                 self.mlp_ratio, self.qkv_bias, self.qk_scale,
+                self.drop_path[i] if self.drop_path else 0.,
                 name=f'blocks.{i}')(x, x_size)
         return x
 
@@ -245,12 +263,13 @@ class RSTB(nn.Module):
     qkv_bias: bool = True
     qk_scale: float = None
     resi_connection: str = '1conv'
+    drop_path: Sequence[float] = ()
 
     @nn.compact
     def __call__(self, x, x_size):
         res = BasicLayer(self.dim, self.input_resolution, self.depth,
                          self.num_heads, self.window_size, self.mlp_ratio,
-                         self.qkv_bias, self.qk_scale,
+                         self.qkv_bias, self.qk_scale, self.drop_path,
                          name='residual_group')(x, x_size)
         h, w = x_size
         b, _, c = res.shape
@@ -318,12 +337,19 @@ class SwinIR(nn.Module):
                                  (1, patches_resolution[0] *
                                   patches_resolution[1], self.embed_dim))
                 seq = seq + ape
+            # per-block stochastic-depth rates, linearly increasing over
+            # ALL blocks like the reference (:694-728 dpr linspace);
+            # active only when a 'droppath' rng is supplied at apply
+            dpr = np.linspace(0, self.drop_path_rate,
+                              sum(self.depths)).tolist()
             for i in range(len(self.depths)):
+                lo = sum(self.depths[:i])
                 seq = RSTB(self.embed_dim, patches_resolution,
                            self.depths[i], self.num_heads[i],
                            self.window_size, self.mlp_ratio,
                            self.qkv_bias, self.qk_scale,
                            self.resi_connection,
+                           tuple(dpr[lo:lo + self.depths[i]]),
                            name=f'layers.{i}')(seq, (fh, fw))
             seq = TorchLayerNorm(name='norm')(seq)
             return seq.reshape(b, fh, fw, self.embed_dim)

@@ -479,7 +479,24 @@ class MultiRefRestorationModel(BaseModel):
         cri_gan = self.cri_gan
         cri_grad_penalty = self.cri_grad_penalty
         tx_g, tx_d = self.tx_g, self.tx_d
-        net_d_apply = self.net_d.apply
+        net_d = self.net_d
+        import inspect
+        d_train_kwarg = 'train' in inspect.signature(
+            type(net_d).__call__).parameters
+
+        def d_apply(dv, x, train=True):
+            """D forward in the reference's train() semantics:
+            ImageDiscriminator's BatchNorms normalize by batch stats
+            (they ran frozen on init statistics before) and state
+            collections thread back to the caller."""
+            kwargs = {'train': train} if d_train_kwarg else {}
+            mut = [c for c in ('batch_stats', 'spectral') if c in dv] \
+                if train else []
+            if mut:
+                out, updates = net_d.apply(dv, x, mutable=mut, **kwargs)
+                return out, dict(dv, **updates)
+            return net_d.apply(dv, x, **kwargs), dv
+
         vgg_vars = self.vgg_variables
         vgg_style_vars = self.vgg_style_variables
         cri_perceptual = self.cri_perceptual
@@ -500,27 +517,29 @@ class MultiRefRestorationModel(BaseModel):
             # ---- discriminator update (reference :219-242)
             def d_loss_fn(params_d):
                 dv = dict(vars_d, params=params_d)
-                real_pred = net_d_apply(dv, gt)
-                fake_pred = net_d_apply(dv, output_sg)
+                real_pred, dv = d_apply(dv, gt)
+                fake_pred, dv = d_apply(dv, output_sg)
                 l_d_real = cri_gan(real_pred, True, is_disc=True)
                 l_d_fake = cri_gan(fake_pred, False, is_disc=True)
                 total = l_d_real + l_d_fake
                 aux = {'l_d_real': l_d_real, 'l_d_fake': l_d_fake,
                        'out_d_real': real_pred.mean(),
-                       'out_d_fake': fake_pred.mean()}
+                       'out_d_fake': fake_pred.mean(),
+                       '_new_vars_d': dv}
                 if cri_grad_penalty is not None:
                     l_gp = cri_grad_penalty(
-                        lambda z: net_d_apply(dv, z), gt, output_sg, rng)
+                        lambda z: d_apply(dv, z)[0], gt, output_sg, rng)
                     total = total + l_gp
                     aux['l_grad_penalty'] = l_gp
                 return total, aux
 
             (l_d, d_aux), grads_d = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(vars_d['params'])
+            new_vars_d = d_aux.pop('_new_vars_d')
             updates_d, opt_d = tx_d.update(grads_d, opt_d,
                                            vars_d['params'])
             params_d = optax.apply_updates(vars_d['params'], updates_d)
-            vars_d = dict(vars_d, params=params_d)
+            vars_d = dict(new_vars_d, params=params_d)
             losses.update(d_aux)
 
             # ---- generator update (reference :244-279), gated on g_turn
@@ -541,7 +560,10 @@ class MultiRefRestorationModel(BaseModel):
                     _, l_s = cri_style(out, gt, vgg_style_vars)
                     total += l_s
                     aux['l_g_style'] = l_s
-                fake_g_pred = net_d_apply(vars_d, out)
+                # train-mode D forward; its state updates are dropped
+                # (only the D step's persist), matching the reference's
+                # always-train() discriminator
+                fake_g_pred = d_apply(vars_d, out)[0]
                 l_g_gan = cri_gan(fake_g_pred, True, is_disc=False)
                 total += l_g_gan
                 aux['l_g_gan'] = l_g_gan

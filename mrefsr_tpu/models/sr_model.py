@@ -166,12 +166,22 @@ class SRModel(BaseModel):
                 params)
             return params, lq.astype(bf)
 
+        # stochastic depth (SwinIR drop_path_rate): supply a per-step
+        # 'droppath' rng so training applies it like the reference; nets
+        # without the attribute never see the rng (identity)
+        use_droppath = getattr(self.net_g, 'drop_path_rate', 0.) and \
+            self.is_train
+        seed = self.opt.get('manual_seed') or 0
+
         def step(variables, opt_state, ema_variables, vgg_variables, lq,
                  gt, step_idx):
             def loss_fn(params):
                 params_c, lq_c = cast_fwd(params, lq)
-                output = net_apply({'params': params_c},
-                                   lq_c).astype(jnp.float32)
+                rngs = {'droppath': jax.random.fold_in(
+                    jax.random.PRNGKey(seed), step_idx)} \
+                    if use_droppath else None
+                output = net_apply({'params': params_c}, lq_c,
+                                   rngs=rngs).astype(jnp.float32)
                 losses = OrderedDict()
                 total = 0.
                 if cri_pix is not None:

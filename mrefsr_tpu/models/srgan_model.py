@@ -97,13 +97,23 @@ class SRGANModel(SRModel):
                 self._restore_trees()
 
     def _apply_d(self, vars_d, x, train=True):
-        """Discriminator apply threading batch_stats when present."""
-        if 'batch_stats' in vars_d and train:
-            out, updates = self.net_d.apply(
-                vars_d, x, mutable=['batch_stats'])
+        """Discriminator apply in the reference's train() semantics:
+        train=True runs BatchNorm on batch statistics and spectral
+        norm's power iteration, returning the updated state collections
+        (callers that don't persist them just drop the second return);
+        train=False is pure eval on stored state."""
+        if not hasattr(self, '_d_train_kwarg'):
+            import inspect
+            self._d_train_kwarg = 'train' in inspect.signature(
+                type(self.net_d).__call__).parameters
+        kwargs = {'train': train} if self._d_train_kwarg else {}
+        mut = [c for c in ('batch_stats', 'spectral') if c in vars_d] \
+            if train else []
+        if mut:
+            out, updates = self.net_d.apply(vars_d, x, mutable=mut,
+                                            **kwargs)
             return out, dict(vars_d, **updates)
-        out = self.net_d.apply(vars_d, x)
-        return out, vars_d
+        return self.net_d.apply(vars_d, x, **kwargs), vars_d
 
     def _build_train_step(self):
         cri_pix = self.cri_pix
@@ -164,10 +174,13 @@ class SRGANModel(SRModel):
                     if l_s is not None:
                         total += l_s
                         aux['l_g_style'] = l_s
-                fake_g_pred, _ = apply_d(vars_d, flat(out), train=False)
+                # the reference keeps D in train() during the G step too
+                # (BN normalizes by batch stats); the state updates from
+                # these forwards are dropped — only the D step's persist
+                fake_g_pred, _ = apply_d(vars_d, flat(out), train=True)
                 if relativistic:
                     real_d_pred, _ = apply_d(vars_d, flat(gt_gan),
-                                             train=False)
+                                             train=True)
                     real_d_pred = jax.lax.stop_gradient(real_d_pred)
                     l_g_real = cri_gan(
                         real_d_pred - fake_g_pred.mean(), False,

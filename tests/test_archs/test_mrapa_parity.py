@@ -216,3 +216,33 @@ def test_single_ref_restoration_parity(ref_loader):
 
     assert out_j.shape == out_t.shape
     np.testing.assert_allclose(out_j, out_t, atol=2e-4)
+
+
+def test_mrapa_from_scratch_init_matches_srntt():
+    """Regression: the reference's srntt_init_weights(self,'normal',0.02)
+    runs over the WHOLE net (ref_mrapa_restoration_arch.py:111), so the
+    residual-block convs must start at N(0, 0.02) — they were left at
+    the block default kaiming*0.1 (std ~0.006 at 64ch)."""
+    import jax
+
+    from mrefsr_tpu.archs.ref_mrapa_restoration_arch import \
+        MRAPARestorationNet
+
+    rng = np.random.RandomState(0)
+    net = MRAPARestorationNet(ngf=64, n_blocks=2, groups=2)
+    lq = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))
+    pre = {k: jnp.asarray(rng.rand(1, 1, s, s, 9, 2).astype(np.float32))
+           for k, s in (('relu3_1', 8), ('relu2_1', 16), ('relu1_1', 32))}
+    feat = {k: jnp.asarray(rng.rand(1, 1, s, s, c).astype(np.float32))
+            for k, s, c in (('relu3_1', 8, 256), ('relu2_1', 16, 128),
+                            ('relu1_1', 32, 64))}
+    variables = net.init(jax.random.PRNGKey(0), lq, pre, feat)
+    p = variables['params']
+    for path in (('content_extractor', 'body.0', 'conv1'),
+                 ('dyn_agg_restore', 'body_small.0', 'conv1'),
+                 ('dyn_agg_restore', 'body_large.1', 'conv2')):
+        node = p
+        for k in path:
+            node = node[k]
+        std = float(np.asarray(node['kernel']).std())
+        assert 0.015 < std < 0.025, (path, std)

@@ -54,3 +54,27 @@ def test_swinir_parity(ref_swinir, upsampler, upscale):
 
     assert out_j.shape == out_t.shape
     np.testing.assert_allclose(out_j, out_t, atol=5e-4)
+
+
+def test_swinir_drop_path_active_with_rng():
+    """Regression: drop_path_rate was accepted and silently ignored —
+    training SwinIR from scratch omitted the reference's stochastic
+    depth. With a 'droppath' rng supplied, residual branches drop
+    per-sample; without one (inference) the forward is deterministic
+    identity."""
+    from mrefsr_tpu.archs.swinir_arch import SwinIR
+    kwargs = dict(img_size=16, patch_size=1, in_chans=3, embed_dim=8,
+                  depths=(2, 2), num_heads=(2, 2), window_size=4,
+                  mlp_ratio=2., upscale=2, img_range=1.,
+                  upsampler='pixelshuffledirect', drop_path_rate=0.9)
+    net = SwinIR(**kwargs)
+    x = jnp.asarray(
+        np.random.RandomState(3).rand(2, 16, 16, 3).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    out_det = net.apply(variables, x)
+    out_det2 = net.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(out_det),
+                                  np.asarray(out_det2))
+    out_dp = net.apply(variables, x,
+                       rngs={'droppath': jax.random.PRNGKey(7)})
+    assert not np.allclose(np.asarray(out_dp), np.asarray(out_det))

@@ -103,3 +103,33 @@ def test_duf_parity(ref_loader):
     assert out_j.shape == (1, 32, 32, 3)
     np.testing.assert_allclose(out_j, out_t.numpy().transpose(0, 2, 3, 1),
                                atol=1e-4)
+
+
+def test_ecbsr_edge_masks_receive_no_gradient():
+    """Regression: the fixed Sobel/Laplacian masks were plain trainable
+    params; the reference registers them with requires_grad=False
+    (ecbsr_arch.py:57/79/100)."""
+    import jax
+
+    from mrefsr_tpu.archs.ecbsr_arch import ECBSR
+    net = ECBSR(num_in_ch=1, num_out_ch=1, num_block=1, num_channel=4,
+                with_idt=False, act_type='prelu', scale=2)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 1).astype(
+        np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+
+    def loss(params):
+        return net.apply({'params': params}, x).sum()
+
+    grads = jax.grad(loss)(variables['params'])
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    mask_grads = [(path, g) for path, g in flat
+                  if 'mask' in '.'.join(str(getattr(k, 'key', k))
+                                        for k in path)]
+    assert mask_grads, 'expected mask params in the tree'
+    for path, g in mask_grads:
+        assert np.allclose(np.asarray(g), 0), path
+    scale_grads = [g for path, g in flat
+                   if 'scale' in '.'.join(str(getattr(k, 'key', k))
+                                          for k in path)]
+    assert any(not np.allclose(np.asarray(g), 0) for g in scale_grads)

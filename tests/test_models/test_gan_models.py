@@ -166,12 +166,14 @@ def test_gan_d_trains_on_pre_update_generator_output():
     # sanity: the update actually changed the generator
     assert not np.allclose(pre_update_out, post_update_out)
     # the logged out_d_fake must equal D(pre-update output), not
-    # D(post-update output)
-    fake_pre = float(model.net_d.apply(
-        jax.tree_util.tree_map(jnp.asarray, vars_d_before),
-        jnp.asarray(pre_update_out)).mean())
-    fake_post = float(model.net_d.apply(
-        jax.tree_util.tree_map(jnp.asarray, vars_d_before),
-        jnp.asarray(post_update_out)).mean())
+    # D(post-update output) — mirror the D step's forward order (real
+    # first, then fake) so the spectral-norm power-iteration state
+    # matches the step's exactly
+    dv0 = jax.tree_util.tree_map(jnp.asarray, vars_d_before)
+    _, dv1 = model._apply_d(dv0, jnp.asarray(batch['gt']), train=True)
+    fake_pre = float(model._apply_d(
+        dv1, jnp.asarray(pre_update_out), train=True)[0].mean())
+    fake_post = float(model._apply_d(
+        dv1, jnp.asarray(post_update_out), train=True)[0].mean())
     assert abs(model.log_dict['out_d_fake'] - fake_pre) < 1e-4
     assert abs(fake_pre - fake_post) > 1e-7  # the two are distinguishable

@@ -127,11 +127,23 @@ def test_multi_ref_model_gan_phase():
     model.feed_data(batch)
     model.optimize_parameters(1)  # pretrain phase (pixel only)
     assert 'l_pix' in model.log_dict
+    import jax
+    bn_before = jax.tree_util.tree_map(np.asarray,
+                                       model.vars_d['batch_stats'])
     model.feed_data(batch)
     model.optimize_parameters(3)  # gan phase
     assert 'l_d_real' in model.log_dict
     assert np.isfinite(model.log_dict['l_d_real'])
     assert 'l_g_gan' in model.log_dict
+    # regression: ImageDiscriminator's BatchNorms ran frozen on init
+    # statistics through the whole GAN phase — the D step must update
+    # running stats (reference trains D in train() mode)
+    bn_after = model.vars_d['batch_stats']
+    changed = jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(a, np.asarray(b)), bn_before,
+        bn_after)
+    assert any(jax.tree_util.tree_leaves(changed)), \
+        'D BatchNorm running stats never updated during the GAN phase'
 
 
 def test_dcn_outer_remat_yaml_key_reaches_arch():
