@@ -23,9 +23,9 @@ from mrefsr_tpu.convert import load_torch_state_dict, torch_to_flax
 from mrefsr_tpu.utils import imwrite, tensor2img
 
 try:
-    from facexlib.utils.face_restoration_helper import FaceRestoreHelper
+    import dlib  # the reference's 68-landmark pipeline
 except ImportError:
-    FaceRestoreHelper = None
+    dlib = None
 
 
 def get_part_location(landmarks):
@@ -36,20 +36,21 @@ def get_part_location(landmarks):
     map_nose = list(range(29, 36))
     map_mouth = list(range(48, 68))
 
-    def part_box(points, part_size):
+    def part_box(points):
         mean = np.mean(points, axis=0)
+        # minimum half-size 16 for EVERY part, like the reference
+        # (inference_dfdnet.py:27-49) — not per-part sizes
         half_len = np.max((np.max(np.max(points, axis=0)
-                                  - np.min(points, axis=0)) / 2,
-                           part_size / 2))
+                                  - np.min(points, axis=0)) / 2, 16))
         box = np.hstack((mean - half_len + 1,
                          mean + half_len)).astype(int)
         return box[None]
 
     return [
-        part_box(landmarks[map_left_eye], 80),
-        part_box(landmarks[map_right_eye], 80),
-        part_box(landmarks[map_nose], 50),
-        part_box(landmarks[map_mouth], 110),
+        part_box(landmarks[map_left_eye]),
+        part_box(landmarks[map_right_eye]),
+        part_box(landmarks[map_nose]),
+        part_box(landmarks[map_mouth]),
     ]
 
 
@@ -68,7 +69,11 @@ def main():
                         default='datasets/TestWhole')
     parser.add_argument('--landmark_dir', type=str, default=None,
                         help='folder of per-image 68x2 landmark .npy '
-                             'files (used when facexlib is absent)')
+                             'files (used when dlib is absent)')
+    parser.add_argument(
+        '--dlib_models', type=str,
+        default='experiments/pretrained_models/dlib',
+        help='folder with the reference dlib detector/predictor models')
     parser.add_argument('--save_path', type=str, default='results/DFDNet')
     args = parser.parse_args()
 
@@ -77,6 +82,23 @@ def main():
     variables = jax.tree_util.tree_map(jnp.asarray, torch_to_flax(sd))
     face_dict = load_dfdnet_dict(args.dict_path)
 
+    detector = predictor = None
+    if args.landmark_dir is None:
+        if dlib is None:
+            raise RuntimeError(
+                'dlib is not installed; pass --landmark_dir with '
+                'precomputed 68-point landmark .npy files (one '
+                '<image>.npy of shape (68, 2) per input image)')
+        # the reference's detector/predictor pair (inference_dfdnet.py)
+        detector = dlib.cnn_face_detection_model_v1(os.path.join(
+            args.dlib_models, 'mmod_human_face_detector-4cb19393.dat'))
+        predictor = dlib.shape_predictor(os.path.join(
+            args.dlib_models,
+            'shape_predictor_68_face_landmarks-fbdc2cb8.dat'))
+
+    # hoisted: part boxes are traced values, so ONE compiled graph
+    # serves every face (static 512x512 shapes end to end)
+    forward = jax.jit(model.apply)
     os.makedirs(args.save_path, exist_ok=True)
     for path in sorted(glob.glob(os.path.join(args.test_path, '*'))):
         img_name = os.path.splitext(os.path.basename(path))[0]
@@ -88,30 +110,19 @@ def main():
         if args.landmark_dir is not None:
             landmarks = np.load(
                 os.path.join(args.landmark_dir, f'{img_name}.npy'))
-        elif FaceRestoreHelper is not None:
-            helper = FaceRestoreHelper(args.upscale_factor,
-                                       face_size=512)
-            helper.clean_all()
-            helper.read_image(img)
-            helper.get_face_landmarks_5()
-            helper.align_warp_face()
-            landmarks = helper.all_landmarks_68[0] \
-                if getattr(helper, 'all_landmarks_68', None) else None
-            if landmarks is None:
-                print('  no landmarks found, skip')
-                continue
         else:
-            raise RuntimeError(
-                'facexlib is not installed; pass --landmark_dir with '
-                'precomputed 68-point landmarks')
+            rgb = img[:, :, ::-1]
+            dets = detector(rgb, 1)
+            if len(dets) == 0:
+                print('  no face detected, skip')
+                continue
+            shape = predictor(rgb, dets[0].rect)
+            landmarks = np.array([[p.x, p.y] for p in shape.parts()])
 
         part_locations = get_part_location(np.asarray(landmarks))
         x = jnp.asarray(
             (img[:, :, ::-1].astype(np.float32) / 255.)[None] * 2 - 1)
-        # part boxes are traced values, so one compiled graph serves
-        # every face (static 512x512 shapes end to end)
-        out = jax.jit(model.apply)(variables, x, part_locations,
-                                   face_dict)
+        out = forward(variables, x, part_locations, face_dict)
         out = tensor2img(out, min_max=(-1, 1))
         imwrite(out, os.path.join(args.save_path,
                                   f'{img_name}_DFDNet.png'))

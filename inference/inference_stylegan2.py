@@ -70,13 +70,14 @@ def main():
         rng, k = jax.random.split(rng)
         latent_in = jax.random.normal(k, (args.truncation_mean,
                                           args.latent))
-        # style MLP only: run the generator's mapping via apply method
-        latents = model.apply(variables, [latent_in],
-                              return_latents=True,
-                              randomize_noise=True,
-                              rngs={'noise': rng},
-                              method=None)[1]
-        mean_latent = latents[:, 0].mean(0, keepdims=True)
+        # style MLP ONLY (reference g_ema.mean_latent): synthesizing
+        # 4096 full-resolution images just to average latents OOMs
+        from mrefsr_tpu.archs.stylegan2_arch import StyleMLP
+        mlp_params = {k2: v for k2, v in variables['params'].items()
+                      if k2.startswith('style_mlp.')}
+        w = StyleMLP(args.latent, 8).apply({'params': mlp_params},
+                                           latent_in)
+        mean_latent = w.mean(0, keepdims=True)
     else:
         mean_latent = None
 

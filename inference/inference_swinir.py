@@ -62,12 +62,10 @@ def define_model(args):
     else:
         raise ValueError(f'Unknown task {args.task}')
 
-    import torch
     from mrefsr_tpu.archs.swinir_arch import swinir_rename
-    loadnet = torch.load(args.model_path, map_location='cpu',
-                         weights_only=True)
-    keyname = 'params_ema' if 'params_ema' in loadnet else 'params'
-    sd = load_torch_state_dict(args.model_path, param_key=keyname)
+    # single load: load_torch_state_dict's params_ema -> params fallback
+    # covers both key layouts (convert.py)
+    sd = load_torch_state_dict(args.model_path, param_key='params_ema')
     variables = torch_to_flax(sd, rename=swinir_rename)
     return model, jax.tree_util.tree_map(jnp.asarray, variables)
 
@@ -100,8 +98,16 @@ def main():
             sorted(glob.glob(os.path.join(args.input, '*')))):
         imgname = os.path.splitext(os.path.basename(path))[0]
         print('Testing', idx, imgname)
-        img = cv2.imread(path, cv2.IMREAD_COLOR).astype(np.float32) / 255.
-        img = jnp.asarray(img[None, :, :, ::-1])
+        if args.task in ('gray_dn', 'jpeg_car'):
+            # single-channel tasks: the nets are built with in_chans=1
+            # (the reference script reads IMREAD_COLOR here and crashes)
+            img = cv2.imread(path, cv2.IMREAD_GRAYSCALE).astype(
+                np.float32) / 255.
+            img = jnp.asarray(img[None, :, :, None])
+        else:
+            img = cv2.imread(path, cv2.IMREAD_COLOR).astype(
+                np.float32) / 255.
+            img = jnp.asarray(img[None, :, :, ::-1])
 
         h, w = img.shape[1:3]
         mod_pad_h = (window_size - h % window_size) % window_size

@@ -248,6 +248,33 @@ def _sg2_channels(channel_multiplier, narrow):
     }
 
 
+class StyleMLP(nn.Module):
+    """The generator's z->w mapping network ALONE, with the same flat
+    param names ('style_mlp.{i+1}') as StyleGAN2Generator — apply it on
+    the style_mlp.* subtree of the generator's params to compute mean
+    latents / truncation anchors without synthesizing images (the
+    reference's g_ema.mean_latent(), stylegan2_arch.py:491-495)::
+
+        mlp_params = {k: v for k, v in gen_params.items()
+                      if k.startswith('style_mlp.')}
+        w = StyleMLP(num_style_feat, num_mlp, lr_mlp).apply(
+            {'params': mlp_params}, z)
+    """
+    num_style_feat: int = 512
+    num_mlp: int = 8
+    lr_mlp: float = 0.01
+
+    @nn.compact
+    def __call__(self, s):
+        s = norm_style_code(s)
+        for i in range(self.num_mlp):
+            s = EqualLinear(self.num_style_feat, self.num_style_feat,
+                            use_bias=True, bias_init_val=0,
+                            lr_mul=self.lr_mlp, activation='fused_lrelu',
+                            name=f'style_mlp.{i + 1}')(s)
+        return s
+
+
 @ARCH_REGISTRY.register()
 class StyleGAN2Generator(nn.Module):
     """StyleGAN2 generator (reference :395-586). NHWC output.

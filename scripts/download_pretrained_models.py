@@ -14,9 +14,9 @@ from mrefsr_tpu.utils.download_util import \
 FILE_IDS = {
     'ESRGAN': {
         'ESRGAN_SRx4_DF2KOST_official-ff704c30.pth':
-            '1swaV5iBMFfg-DL6ZyiARztbhutDCWXMM',
+            '1b3_bWZTjNO3iL2js1yWkJfjZykcQgvzT',
         'ESRGAN_PSNR_SRx4_DF2K_official-150ff491.pth':
-            '1swaV5iBMFfg-DL6ZyiARztbhutDCWXMm',
+            '1swaV5iBMFfg-DL6ZyiARztbhutDCWXMM',
     },
     'EDVR': {},
     'StyleGAN': {},

@@ -44,11 +44,12 @@ def main():
         img_restored = cv2.imread(
             osp.join(args.restored, basename + args.suffix + ext),
             cv2.IMREAD_COLOR)
-        # BGR -> RGB, [0,255] float (the metric normalizes internally,
-        # matching the reference wrapper's mean/std 0.5 preprocessing)
+        # pass the cv2 BGR images as-is: calculate_lpips's contract is
+        # BGR input (like every registry metric) and it converts to RGB
+        # internally — a pre-flip here would double-swap the channels
         val = calculate_lpips(
-            img_gt[:, :, ::-1].astype(np.float32),
-            img_restored[:, :, ::-1].astype(np.float32),
+            img_gt.astype(np.float32),
+            img_restored.astype(np.float32),
             crop_border=0,
             lpips_weights=args.lpips_weights,
             vgg16_weights=args.vgg16_weights)

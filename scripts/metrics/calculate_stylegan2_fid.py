@@ -51,14 +51,28 @@ def main():
     total_batch = math.ceil(args.num_sample / args.batch_size)
     rng = jax.random.PRNGKey(0)
 
+    truncation_latent = None
+    if args.truncation < 1:
+        # mean latent via the style MLP only (reference mean_latent)
+        from mrefsr_tpu.archs.stylegan2_arch import StyleMLP
+        rng, km = jax.random.split(rng)
+        latent_in = jax.random.normal(km, (args.truncation_mean, 512))
+        mlp_params = {k: v for k, v in variables['params'].items()
+                      if k.startswith('style_mlp.')}
+        w = StyleMLP(512, 8).apply({'params': mlp_params}, latent_in)
+        truncation_latent = w.mean(0, keepdims=True)
+
     def sample_generator(rng):
         for _ in range(total_batch):
             rng, kz, kn = jax.random.split(rng, 3)
             z = jax.random.normal(kz, (args.batch_size, 512))
-            img, _ = generator.apply(variables, [z],
-                                     truncation=args.truncation,
-                                     rngs={'noise': kn})
-            yield np.asarray((img + 1) / 2)  # [-1,1] -> [0,1]
+            img, _ = generator.apply(
+                variables, [z], truncation=args.truncation,
+                truncation_latent=truncation_latent, rngs={'noise': kn})
+            # RAW [-1,1] output: the dataset FID stats are computed on
+            # mean/std-0.5-normalized ([-1,1]) inputs (fid.py) — mapping
+            # to [0,1] here made the two feature sets incomparable
+            yield np.asarray(img)
 
     features = extract_inception_features(sample_generator(rng),
                                           feature_fn, total_batch)
