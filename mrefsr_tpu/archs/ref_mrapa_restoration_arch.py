@@ -57,6 +57,9 @@ class DynAgg(nn.Module):
     def __call__(self, x, feat, pre_offset):
         k = self.kernel_size
         dg = self.deform_groups
+        # zero init = the reference's re_init_dcn_offset
+        # (ref_mrapa_restoration_arch.py:114-121): learned offsets start
+        # at 0 so sampling begins exactly at the precomputed pre_offset
         out = nn.Conv(dg * 3 * k * k, (k, k),
                       strides=(self.stride, self.stride),
                       padding=self.padding,

@@ -126,6 +126,8 @@ class WindowAttention(nn.Module):
         scale = self.qk_scale or hd**-0.5
         ws = self.window_size
 
+        # flax truncated_normal == the reference's arch_util.trunc_normal_
+        # (arch_util.py:359) used on this table
         bias_table = self.param(
             'relative_position_bias_table',
             nn.initializers.truncated_normal(0.02),

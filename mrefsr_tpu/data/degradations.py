@@ -458,3 +458,10 @@ def random_add_poisson_noise_jax(key, img, scale_range=(0, 1.0), gray_prob=0,
     noise = random_generate_poisson_noise_jax(key, img, scale_range,
                                               gray_prob, valid_mask)
     return _clip_round(img + noise, clip, rounds, xp=jnp)
+
+
+# Reference-name aliases for the torch build's batched variants
+# (random_add_gaussian_noise_pt :545-556, random_add_poisson_noise_pt
+# :715-729) — identical math with an explicit JAX PRNG key prepended.
+random_add_gaussian_noise_pt = random_add_gaussian_noise_jax
+random_add_poisson_noise_pt = random_add_poisson_noise_jax

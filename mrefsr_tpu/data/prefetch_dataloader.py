@@ -3,7 +3,10 @@
 Rebuild of reference basicsr/data/prefetch_dataloader.py: the
 CUDAPrefetcher's side-stream H2D copies become ``jax.device_put``
 double-buffering — the next batch's transfer overlaps the current step's
-compute because device_put is async under jax's dispatch model.
+compute because device_put is async under jax's dispatch model. The
+thread-queue PrefetchGenerator/PrefetchDataLoader (reference :7-60) are
+subsumed by the threaded loader itself (data/loader.py): its worker
+pool + bounded queue prefetch whole collated batches.
 """
 import jax
 

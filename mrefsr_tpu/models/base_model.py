@@ -8,9 +8,10 @@ functions. The public surface the pipelines call is unchanged —
 update_learning_rate / resume_training``.
 
 Shared services:
-  * data-parallel placement over the device mesh (replaces DDP wrap,
-    reference base_model.py:87-104) — params replicated, batches sharded,
-    gradient all-reduce inserted by XLA inside jit;
+  * data-parallel placement over the device mesh (replaces the
+    model_to_device DDP wrap, reference base_model.py:87-104) — params
+    replicated, batches sharded, gradient all-reduce inserted by XLA
+    inside jit;
   * optax optimizer/schedule factories (reference :106-124, :126-170);
   * EMA as a params pytree blended inside the train step (reference
     model_ema :75-82);
