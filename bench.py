@@ -36,9 +36,9 @@ def main():
     from mrefsr_tpu.models import build_model
 
     # 8/chip is the measured throughput sweet spot on a 16 GB v5e chip
-    # (sweep with the default single-remat DCN backward: b4 9.05,
-    # b8 9.97; with dcn_outer_remat: b4 8.76, b6 8.37, b8 9.44,
-    # b12 8.91 img/s/chip)
+    # (default = single-remat DCN backward + fusion residuals kept:
+    # b8 10.21; with fusion_remat: b4 9.05, b8 9.97; with
+    # dcn_outer_remat too: b4 8.76, b6 8.37, b8 9.44, b12 8.91)
     per_chip_batch = int(os.environ.get('BENCH_BATCH', '8'))
     gt = int(os.environ.get('BENCH_GT_SIZE', '160'))
     t = 5

@@ -225,7 +225,8 @@ def _align_one_ref(mdl, carry, per_ref, ref_nf, groups, prefix,
 
 
 def _scale_stage(mdl, x, pre_offset, ref_feat, nf, ref_nf, n_blocks,
-                 groups, prefix, ref_unroll=1, dcn_outer_remat=False):
+                 groups, prefix, ref_unroll=1, dcn_outer_remat=False,
+                 fusion_remat=False):
     """One decoder scale: per-ref alignment scanned over the T refs +
     fusion + residual body (shared structure of reference :213-257).
     Called with the owning module so scanned params attach flat,
@@ -242,7 +243,12 @@ def _scale_stage(mdl, x, pre_offset, ref_feat, nf, ref_nf, n_blocks,
         in_axes=1, out_axes=1, unroll=ref_unroll)
     _, swapped = align(mdl, x, (ref_feat, pre_offset))  # (B,T,H,W,C)
 
-    fusion_cls = nn.remat(MRAPAFusion)
+    # fusion_remat (YAML network_g key): replay the MRAPA attention in
+    # the backward instead of keeping its residuals. Measured (stage3
+    # bench, v5e, b=8): default OFF 10.21 img/s/chip vs 9.97 with the
+    # replay — set true only when HBM binds (the shipped gt=300
+    # large-patch config does, alongside dcn_outer_remat).
+    fusion_cls = nn.remat(MRAPAFusion) if fusion_remat else MRAPAFusion
     h = fusion_cls(nf=nf, ref_nf=ref_nf, name=f'head_{p}')(x, swapped)
     # srntt_init_weights covers these blocks too (see ContentExtractor)
     h = run_blocks(h, ResidualBlockNoBN, n_blocks, f'body_{p}',
@@ -273,21 +279,25 @@ class DynamicAggregationRestoration(nn.Module):
     groups: int = 8
     ref_unroll: int = 1
     dcn_outer_remat: bool = False
+    fusion_remat: bool = False
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
         x = _scale_stage(self, x, pre_offset['relu3_1'],
                          img_ref_feat['relu3_1'], self.ngf, 256,
                          self.n_blocks, self.groups, 'small',
-                         self.ref_unroll, self.dcn_outer_remat)
+                         self.ref_unroll, self.dcn_outer_remat,
+                         self.fusion_remat)
         x = _scale_stage(self, x, pre_offset['relu2_1'],
                          img_ref_feat['relu2_1'], self.ngf, 128,
                          self.n_blocks, self.groups, 'medium',
-                         self.ref_unroll, self.dcn_outer_remat)
+                         self.ref_unroll, self.dcn_outer_remat,
+                         self.fusion_remat)
         x = _scale_stage(self, x, pre_offset['relu1_1'],
                          img_ref_feat['relu1_1'], self.ngf, 64,
                          self.n_blocks, self.groups, 'large',
-                         self.ref_unroll, self.dcn_outer_remat)
+                         self.ref_unroll, self.dcn_outer_remat,
+                         self.fusion_remat)
         return x
 
 
@@ -304,6 +314,7 @@ class MRAPARestorationNet(nn.Module):
     groups: int = 8
     ref_unroll: int = 1
     dcn_outer_remat: bool = False
+    fusion_remat: bool = False
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
@@ -313,6 +324,6 @@ class MRAPARestorationNet(nn.Module):
                                         name='content_extractor')(x)
         upscale = DynamicAggregationRestoration(
             self.ngf, self.n_blocks, self.groups, self.ref_unroll,
-            self.dcn_outer_remat,
+            self.dcn_outer_remat, self.fusion_remat,
             name='dyn_agg_restore')(content_feat, pre_offset, img_ref_feat)
         return upscale + base

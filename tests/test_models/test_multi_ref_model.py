@@ -168,12 +168,13 @@ def test_dcn_remat_variants_same_trajectory(monkeypatch):
     the training trajectory."""
     import jax
 
-    def run(outer_remat, env):
+    def run(outer_remat, env, fusion_remat=False):
         monkeypatch.delenv('MREFSR_DCN_SAVE_GATHER', raising=False)
         for k, v in env.items():
             monkeypatch.setenv(k, v)
         opt = make_opt(multi=True)
         opt['network_g']['dcn_outer_remat'] = outer_remat
+        opt['network_g']['fusion_remat'] = fusion_remat
         model = build_model(opt)
         rng = np.random.RandomState(7)
         batch = make_batch(rng, b=1, t=2, gt=32)
@@ -183,10 +184,12 @@ def test_dcn_remat_variants_same_trajectory(monkeypatch):
         return jax.tree_util.tree_map(np.asarray, model.vars_g)
 
     base = run(False, {})
-    for outer_remat, env in ((True, {}),
-                             (False, {'MREFSR_DCN_SAVE_GATHER': '1'}),
-                             (True, {'MREFSR_DCN_SAVE_GATHER': '1'})):
-        got = run(outer_remat, env)
+    for outer_remat, env, fusion in ((True, {}, True),
+                                     (False, {'MREFSR_DCN_SAVE_GATHER':
+                                              '1'}, False),
+                                     (True, {'MREFSR_DCN_SAVE_GATHER':
+                                             '1'}, False)):
+        got = run(outer_remat, env, fusion)
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6,
                                                     atol=1e-7),
