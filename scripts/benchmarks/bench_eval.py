@@ -1,0 +1,81 @@
+"""Flagship EVAL throughput: the CUFED5-protocol 5-ref x4 forward
+(500x500 zero-padded inputs, the reference's static eval canvas) in
+images/sec on the attached chip(s) — the serving-side counterpart of
+bench.py's training number.
+
+Measures N jitted forwards fused into one lax.scan dispatch with the
+same (tN - t1)/(N - 1) dispatch-overhead cancellation as bench.py.
+
+Usage: python scripts/benchmarks/bench_eval.py  [BENCH_EVAL_SIZE=500]
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), '..', '..'))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    size = int(os.environ.get('BENCH_EVAL_SIZE', '500'))
+    # mirror the CUFED5 eval: pad to a multiple of 4 at the eval canvas
+    gt = size - size % 4
+    t = 5
+
+    extractor, net_map, net_g = ge._flagship(ngf=64, n_blocks=16,
+                                             groups=8)
+    rng = np.random.RandomState(0)
+    match_img = jnp.asarray(rng.rand(1, gt, gt, 3).astype(np.float32))
+    refs = jnp.asarray(rng.rand(1, t, gt, gt, 3).astype(np.float32))
+    lq = jnp.asarray(rng.rand(1, gt // 4, gt // 4, 3).astype(np.float32))
+    vars_ex, vars_map, vars_g = ge._init_vars(extractor, net_map, net_g,
+                                              match_img, refs, lq)
+    forward = ge._forward_fn(extractor, net_map, net_g)
+
+    def run_steps(length):
+        @jax.jit
+        def run(vars_ex, vars_map, vars_g, match_img, refs, lq):
+            def body(carry, idx):
+                # each iteration depends on the previous so the scan
+                # cannot be collapsed
+                out = forward(vars_ex, vars_map, vars_g,
+                              match_img + carry * 0, refs, lq)
+                return out.mean(), None
+            s, _ = jax.lax.scan(body, jnp.float32(0),
+                                jnp.arange(length))
+            return s
+        return run
+
+    args = (vars_ex, vars_map, vars_g, match_img, refs, lq)
+    n = max(2, int(os.environ.get('BENCH_EVAL_STEPS', '8')))
+
+    def measure(run, reps=2):
+        best = float('inf')
+        float(run(*args))  # compile + warm
+        for _ in range(reps):
+            start = time.perf_counter()
+            float(run(*args))  # D2H completion barrier
+            best = min(best, time.perf_counter() - start)
+        return best
+
+    t1 = measure(run_steps(1))
+    tn = measure(run_steps(n))
+    elapsed = max(tn - t1, 1e-9) / (n - 1)
+    print(json.dumps({
+        'metric': f'cufed5_5ref_x4_eval_imgs_per_sec_{gt}px',
+        'value': round(1.0 / elapsed, 3),
+        'unit': 'images/sec/chip',
+        'sec_per_image': round(elapsed, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()
