@@ -100,6 +100,25 @@ def paired_paths_from_lmdb(folders, keys):
     return paths
 
 
+def paired_paths_from_pack(pack_paths, keys):
+    """Paired keys from two native .pack shards (the TPU-native lmdb
+    replacement, native/packio.cpp) — the pack analogue of
+    paired_paths_from_lmdb, read from each shard's key index."""
+    assert len(pack_paths) == 2 and len(keys) == 2
+    from mrefsr_tpu.data.packio import PackReader
+    key_sets = []
+    for p in pack_paths:
+        reader = PackReader(str(p))
+        key_sets.append(set(reader.keys()))
+        reader.close()
+    input_key, gt_key = keys
+    if key_sets[0] != key_sets[1]:
+        raise ValueError(f'Keys in the {input_key} and {gt_key} packs '
+                         'are different.')
+    return [{f'{input_key}_path': k, f'{gt_key}_path': k}
+            for k in sorted(key_sets[0])]
+
+
 def paired_paths_from_meta_info_file(folders, keys, meta_info_file,
                                      filename_tmpl):
     """Paired paths from a meta-info txt (reference data_util.py:154-195)."""

@@ -5,7 +5,8 @@ import numpy as np
 
 from mrefsr_tpu.data.data_util import (paired_paths_from_folder,
                                        paired_paths_from_lmdb,
-                                       paired_paths_from_meta_info_file)
+                                       paired_paths_from_meta_info_file,
+                                       paired_paths_from_pack)
 from mrefsr_tpu.data.transforms import augment, paired_random_crop
 from mrefsr_tpu.utils import imfrombytes, img2tensor, rgb2ycbcr
 from mrefsr_tpu.data.data_util import ensure_file_client
@@ -32,6 +33,13 @@ class PairedImageDataset:
                                                self.gt_folder]
             self.io_backend_opt['client_keys'] = ['lq', 'gt']
             self.paths = paired_paths_from_lmdb(
+                [self.lq_folder, self.gt_folder], ['lq', 'gt'])
+        elif self.io_backend_opt['type'] == 'pack':
+            # native packed shards: dataroot_* point at the .pack files
+            self.io_backend_opt['db_paths'] = [self.lq_folder,
+                                               self.gt_folder]
+            self.io_backend_opt['client_keys'] = ['lq', 'gt']
+            self.paths = paired_paths_from_pack(
                 [self.lq_folder, self.gt_folder], ['lq', 'gt'])
         elif self.opt.get('meta_info_file') is not None:
             self.paths = paired_paths_from_meta_info_file(

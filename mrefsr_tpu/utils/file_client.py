@@ -3,6 +3,7 @@
 Rebuild of reference basicsr/utils/file_client.py:22-167. LMDB and
 memcached imports are gated since neither is guaranteed in the TPU image.
 """
+import threading
 from abc import ABCMeta, abstractmethod
 
 
@@ -16,6 +17,22 @@ class BaseStorageBackend(metaclass=ABCMeta):
     @abstractmethod
     def get_text(self, filepath):
         pass
+
+
+def _normalize_paths(db_paths, client_keys, what):
+    """Shared db_paths/client_keys normalization for the keyed backends:
+    str/Path or a sequence of them -> list of str, length-checked."""
+    if isinstance(client_keys, str):
+        client_keys = [client_keys]
+    if isinstance(db_paths, (str,)) or hasattr(db_paths, '__fspath__'):
+        db_paths = [db_paths]
+    db_paths = [str(v) for v in db_paths]
+    if len(client_keys) != len(db_paths):
+        raise ValueError(
+            f'client_keys and db_paths should have the same length for '
+            f'{what}, but received {len(client_keys)} and '
+            f'{len(db_paths)}.')
+    return db_paths, list(client_keys)
 
 
 class MemcachedBackend(BaseStorageBackend):
@@ -34,13 +51,20 @@ class MemcachedBackend(BaseStorageBackend):
         self.client_cfg = client_cfg
         self._client = mc.MemcachedClient.GetInstance(self.server_list_cfg,
                                                       self.client_cfg)
-        self._mc_buffer = mc.pyvector()
+        # thread-LOCAL receive buffer: this framework's loader workers
+        # are threads sharing one FileClient (the reference's shared
+        # buffer is safe only with process workers) — a shared pyvector
+        # would return another thread's (or torn) bytes
+        self._local = threading.local()
 
     def get(self, filepath):
         import mc
         filepath = str(filepath)
-        self._client.Get(filepath, self._mc_buffer)
-        return mc.ConvertBuffer(self._mc_buffer)
+        buf = getattr(self._local, 'mc_buffer', None)
+        if buf is None:
+            buf = self._local.mc_buffer = mc.pyvector()
+        self._client.Get(filepath, buf)
+        return mc.ConvertBuffer(buf)
 
     def get_text(self, filepath):
         raise NotImplementedError
@@ -74,16 +98,8 @@ class LmdbBackend(BaseStorageBackend):
         except ImportError:
             raise ImportError('Please install lmdb to enable LmdbBackend.')
 
-        if isinstance(client_keys, str):
-            client_keys = [client_keys]
-        if isinstance(db_paths, list):
-            self.db_paths = [str(v) for v in db_paths]
-        elif isinstance(db_paths, str):
-            self.db_paths = [str(db_paths)]
-        assert len(client_keys) == len(self.db_paths), (
-            'client_keys and db_paths should have the same length, '
-            f'but received {len(client_keys)} and {len(self.db_paths)}.')
-
+        self.db_paths, client_keys = _normalize_paths(
+            db_paths, client_keys, 'LmdbBackend')
         self._client = {}
         for client, path in zip(client_keys, self.db_paths):
             self._client[client] = lmdb.open(path, readonly=readonly,
@@ -97,6 +113,11 @@ class LmdbBackend(BaseStorageBackend):
         client = self._client[client_key]
         with client.begin(write=False) as txn:
             value_buf = txn.get(filepath.encode('ascii'))
+        if value_buf is None:
+            # raise HERE like PackBackend, not a far-away TypeError in
+            # imfrombytes (stale meta_info vs lmdb contents)
+            raise KeyError(
+                f'key {filepath!r} not found in lmdb {client_key!r}')
         return value_buf
 
     def get_text(self, filepath):
@@ -112,14 +133,8 @@ class PackBackend(BaseStorageBackend):
 
     def __init__(self, db_paths, client_keys='default', **kwargs):
         from mrefsr_tpu.data.packio import PackReader
-        if isinstance(client_keys, str):
-            client_keys = [client_keys]
-        if isinstance(db_paths, str):
-            db_paths = [db_paths]
-        db_paths = [str(v) for v in db_paths]
-        assert len(client_keys) == len(db_paths), (
-            'client_keys and db_paths should have the same length, but '
-            f'received {len(client_keys)} and {len(db_paths)}.')
+        db_paths, client_keys = _normalize_paths(db_paths, client_keys,
+                                                 'PackBackend')
         self._client = {key: PackReader(path)
                         for key, path in zip(client_keys, db_paths)}
 

@@ -26,14 +26,17 @@ def make_lmdb_from_imgs(data_path, lmdb_path, img_path_list, keys,
     """Build an .lmdb folder (data.mdb/lock.mdb/meta_info.txt) from a
     list of images; meta lines are ``key.png (h,w,c) compress_level``
     (reference lmdb_util.py:9-130)."""
-    lmdb = _require_lmdb()
     assert len(img_path_list) == len(keys), (
         'img_path_list and keys should have the same length, but got '
         f'{len(img_path_list)} and {len(keys)}')
-    print(f'Create lmdb for {data_path}, save to {lmdb_path}...')
-    print(f'Total images: {len(img_path_list)}')
+    if not img_path_list:
+        raise ValueError('img_path_list is empty — nothing to write '
+                         f'into {lmdb_path}')
     if not lmdb_path.endswith('.lmdb'):
         raise ValueError("lmdb_path must end with '.lmdb'.")
+    lmdb = _require_lmdb()
+    print(f'Create lmdb for {data_path}, save to {lmdb_path}...')
+    print(f'Total images: {len(img_path_list)}')
     if osp.exists(lmdb_path):
         print(f'Folder {lmdb_path} already exists. Exit.')
         sys.exit(1)
@@ -41,6 +44,7 @@ def make_lmdb_from_imgs(data_path, lmdb_path, img_path_list, keys,
     dataset, shapes = {}, {}
     if multiprocessing_read:
         print(f'Read images with multiprocessing, #thread: {n_thread} ...')
+        errors = []
 
         def callback(arg):
             key, dataset[key], shapes[key] = arg
@@ -50,46 +54,65 @@ def make_lmdb_from_imgs(data_path, lmdb_path, img_path_list, keys,
             pool.apply_async(read_img_worker,
                              args=(osp.join(data_path, path), key,
                                    compress_level),
-                             callback=callback)
+                             callback=callback,
+                             error_callback=errors.append)
         pool.close()
         pool.join()
+        if errors:
+            # surface the worker failure instead of a bare KeyError
+            # minutes later in the write loop
+            raise RuntimeError(
+                f'{len(errors)} image(s) failed to read; first error: '
+                f'{errors[0]}')
+        if len(dataset) != len(keys):
+            missing = sorted(set(keys) - set(dataset))[:5]
+            raise RuntimeError(
+                f'read {len(dataset)}/{len(keys)} images; missing keys '
+                f'start with {missing}')
         print(f'Finish reading {len(img_path_list)} images.')
 
     if map_size is None:
-        img = cv2.imread(osp.join(data_path, img_path_list[0]),
-                         cv2.IMREAD_UNCHANGED)
-        _, img_byte = cv2.imencode(
-            '.png', img, [cv2.IMWRITE_PNG_COMPRESSION, compress_level])
-        data_size_per_img = img_byte.nbytes
+        if multiprocessing_read:
+            # the first image's encoded bytes are already in hand
+            data_size_per_img = dataset[keys[0]].nbytes
+        else:
+            _, img_byte, _ = read_img_worker(
+                osp.join(data_path, img_path_list[0]), keys[0],
+                compress_level)
+            data_size_per_img = img_byte.nbytes
         print('Data size per image is: ', data_size_per_img)
         map_size = data_size_per_img * len(img_path_list) * 10
 
     env = lmdb.open(lmdb_path, map_size=map_size)
     txn = env.begin(write=True)
-    txt_file = open(osp.join(lmdb_path, 'meta_info.txt'), 'w')
-    for idx, (path, key) in enumerate(zip(img_path_list, keys)):
-        key_byte = key.encode('ascii')
-        if multiprocessing_read:
-            img_byte = dataset[key]
-            h, w, c = shapes[key]
-        else:
-            _, img_byte, img_shape = read_img_worker(
-                osp.join(data_path, path), key, compress_level)
-            h, w, c = img_shape
-        txn.put(key_byte, img_byte)
-        txt_file.write(f'{key}.png ({h},{w},{c}) {compress_level}\n')
-        if idx % batch == 0:
-            txn.commit()
-            txn = env.begin(write=True)
-    txn.commit()
-    env.close()
-    txt_file.close()
+    try:
+        with open(osp.join(lmdb_path, 'meta_info.txt'), 'w') as txt_file:
+            for idx, (path, key) in enumerate(zip(img_path_list, keys)):
+                key_byte = key.encode('ascii')
+                if multiprocessing_read:
+                    img_byte = dataset[key]
+                    h, w, c = shapes[key]
+                else:
+                    _, img_byte, img_shape = read_img_worker(
+                        osp.join(data_path, path), key, compress_level)
+                    h, w, c = img_shape
+                txn.put(key_byte, img_byte)
+                txt_file.write(
+                    f'{key}.png ({h},{w},{c}) {compress_level}\n')
+                if idx % batch == 0:
+                    txn.commit()
+                    txn = env.begin(write=True)
+        txn.commit()
+    finally:
+        env.close()
     print('\nFinish writing lmdb.')
 
 
 def read_img_worker(path, key, compress_level):
     """Read + PNG-encode one image (reference lmdb_util.py:133-156)."""
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise IOError(f'cv2 could not read image: {path}')
     if img.ndim == 2:
         h, w = img.shape
         c = 1

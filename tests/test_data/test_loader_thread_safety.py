@@ -109,3 +109,32 @@ def test_match_point_crop_rejects_undersized_image():
     # boundary-clamped interior crop still works
     out = match_point_crop(img, (5, 5), 100, 100)
     assert out.shape == (100, 100, 3)
+
+
+def test_read_img_worker_raises_on_unreadable(tmp_path):
+    """Regression: cv2.imread's None return crashed with a bare
+    AttributeError partway through an LMDB build."""
+    from mrefsr_tpu.utils.lmdb_util import (make_lmdb_from_imgs,
+                                            read_img_worker)
+    bad = tmp_path / 'bad.png'
+    bad.write_text('not an image')
+    with pytest.raises(IOError, match='could not read'):
+        read_img_worker(str(bad), 'k', 1)
+    # input validation fires before the optional lmdb import
+    with pytest.raises(ValueError, match='empty'):
+        make_lmdb_from_imgs(str(tmp_path), str(tmp_path / 'x.lmdb'),
+                            [], [])
+
+
+def test_file_client_path_normalization(tmp_path):
+    """Regression: LmdbBackend silently AttributeError'd on pathlib.Path
+    / tuple db_paths; the keyed backends now share one normalizer."""
+    from pathlib import Path
+
+    from mrefsr_tpu.utils.file_client import _normalize_paths
+    paths, keys = _normalize_paths(Path('/a/b.lmdb'), 'gt', 'test')
+    assert paths == ['/a/b.lmdb'] and keys == ['gt']
+    paths, keys = _normalize_paths(('/a', '/b'), ['x', 'y'], 'test')
+    assert paths == ['/a', '/b']
+    with pytest.raises(ValueError, match='same length'):
+        _normalize_paths(['/a'], ['x', 'y'], 'test')

@@ -52,3 +52,29 @@ def test_fileclient_pack_backend(tmp_path):
         decoded = cv2.imdecode(np.frombuffer(data, np.uint8),
                                cv2.IMREAD_COLOR)
         np.testing.assert_array_equal(decoded, img)
+
+
+def test_paired_image_dataset_over_pack(tmp_path):
+    """io_backend: {type: pack} is a drop-in for lmdb: dataroot_* point
+    at the .pack shards and paired keys come from the shard indexes."""
+    rng = np.random.RandomState(1)
+    for split, size in (('lq', 8), ('gt', 32)):
+        writer = PackWriter(str(tmp_path / f'{split}.pack'))
+        for name in ('a', 'b', 'c'):
+            img = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+            ok, buf = cv2.imencode('.png', img)
+            writer.put(name, buf.tobytes(), shape=img.shape)
+        writer.close()
+
+    from mrefsr_tpu.data import build_dataset
+    opt = {'name': 'p', 'type': 'PairedImageDataset', 'phase': 'train',
+           'scale': 4, 'gt_size': 32,
+           'dataroot_gt': str(tmp_path / 'gt.pack'),
+           'dataroot_lq': str(tmp_path / 'lq.pack'),
+           'io_backend': {'type': 'pack'},
+           'use_hflip': False, 'use_rot': False}
+    ds = build_dataset(opt)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s['gt'].shape == (32, 32, 3)
+    assert s['lq'].shape == (8, 8, 3)
