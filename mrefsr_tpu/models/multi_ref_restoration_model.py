@@ -370,9 +370,30 @@ class MultiRefRestorationModel(BaseModel):
         return jax.jit(step, donate_argnums=(0, 1))
 
     def _build_eval_step(self):
+        # opt-in bf16 inference (val: mixed_precision: bfloat16): the
+        # same cast policy as the bf16 train step — frozen towers, dense
+        # matching, and net_g all compute in bf16; the restored image is
+        # cast back to f32 before un-pad/metrics. Default stays f32 so
+        # reported PSNR/SSIM match the reference bit policy.
+        mp = (self.opt.get('val') or {}).get('mixed_precision')
+
+        def cast_tree(tree, dtype):
+            return jax.tree_util.tree_map(
+                lambda v: v.astype(dtype)
+                if v.dtype == jnp.float32 else v, tree)
+
         def step(vars_g, vars_ex, vars_map, match_img_in, refs, lq):
-            return self._forward(vars_g['params'], vars_ex, vars_map,
-                                 match_img_in, refs, lq)
+            if mp == 'bfloat16':
+                bf = jnp.bfloat16
+                vars_g = cast_tree(vars_g, bf)
+                vars_ex = cast_tree(vars_ex, bf)
+                vars_map = cast_tree(vars_map, bf)
+                match_img_in = match_img_in.astype(bf)
+                refs = refs.astype(bf)
+                lq = lq.astype(bf)
+            out = self._forward(vars_g['params'], vars_ex, vars_map,
+                                match_img_in, refs, lq)
+            return out.astype(jnp.float32)
 
         return jax.jit(step)
 

@@ -222,9 +222,19 @@ class SRModel(BaseModel):
 
     def _build_eval_step(self):
         net_apply = self.net_g.apply
+        # opt-in bf16 inference (val: mixed_precision: bfloat16) for the
+        # whole SRModel family; output returns to f32 before the metric
+        # path. Default stays f32 for reference-parity numerics.
+        mp = (self.opt.get('val') or {}).get('mixed_precision')
 
         def step(variables, lq):
-            return net_apply(variables, lq)
+            if mp == 'bfloat16':
+                bf = jnp.bfloat16
+                variables = jax.tree_util.tree_map(
+                    lambda v: v.astype(bf)
+                    if v.dtype == jnp.float32 else v, variables)
+                lq = lq.astype(bf)
+            return net_apply(variables, lq).astype(jnp.float32)
 
         return jax.jit(step)
 

@@ -40,6 +40,19 @@ def main():
                                               match_img, refs, lq)
     forward = ge._forward_fn(extractor, net_map, net_g)
 
+    # BENCH_EVAL_MP=bfloat16 measures the opt-in bf16 serving path
+    # (val: mixed_precision: bfloat16 in the eval YAML)
+    mp = os.environ.get('BENCH_EVAL_MP', '')
+    if mp == 'bfloat16':
+        cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda v: v.astype(jnp.bfloat16)
+            if v.dtype == jnp.float32 else v, t)
+        vars_ex, vars_map, vars_g = cast(vars_ex), cast(vars_map), \
+            cast(vars_g)
+        match_img = match_img.astype(jnp.bfloat16)
+        refs = refs.astype(jnp.bfloat16)
+        lq = lq.astype(jnp.bfloat16)
+
     def run_steps(length):
         @jax.jit
         def run(vars_ex, vars_map, vars_g, match_img, refs, lq):
@@ -47,8 +60,9 @@ def main():
                 # each iteration depends on the previous so the scan
                 # cannot be collapsed
                 out = forward(vars_ex, vars_map, vars_g,
-                              match_img + carry * 0, refs, lq)
-                return out.mean(), None
+                              match_img + (carry * 0).astype(
+                                  match_img.dtype), refs, lq)
+                return out.mean().astype(jnp.float32), None
             s, _ = jax.lax.scan(body, jnp.float32(0),
                                 jnp.arange(length))
             return s
@@ -70,7 +84,8 @@ def main():
     tn = measure(run_steps(n))
     elapsed = max(tn - t1, 1e-9) / (n - 1)
     print(json.dumps({
-        'metric': f'cufed5_5ref_x4_eval_imgs_per_sec_{gt}px',
+        'metric': f'cufed5_5ref_x4_eval_imgs_per_sec_{gt}px'
+                  + ('_bf16' if mp == 'bfloat16' else ''),
         'value': round(1.0 / elapsed, 3),
         'unit': 'images/sec/chip',
         'sec_per_image': round(elapsed, 4),

@@ -261,3 +261,33 @@ def test_multi_ref_gan_phase_with_perceptual_and_style():
                 'l_grad_penalty'):
         assert key in model.log_dict, key
         assert np.isfinite(model.log_dict[key]), key
+
+
+def test_bf16_eval_step_close_to_f32():
+    """val: mixed_precision: bfloat16 — opt-in serving precision. The
+    eval step runs the whole 3-net forward in bf16 and must stay close
+    to the f32 forward (and return f32 for the metric path)."""
+    opt = make_opt(multi=True)
+    model = build_model(opt)
+    rng = np.random.RandomState(7)
+    batch = make_batch(rng, b=1)
+    model.feed_data(batch)
+    model.test()
+    out_f32 = np.asarray(model.output)
+
+    opt_bf = make_opt(multi=True)
+    opt_bf['val']['mixed_precision'] = 'bfloat16'
+    model_bf = build_model(opt_bf)
+    model_bf.feed_data(batch)
+    # same weights as the f32 model
+    model_bf.vars_g = model.vars_g
+    model_bf.vars_extractor = model.vars_extractor
+    model_bf.vars_map = model.vars_map
+    model_bf.test()
+    out_bf16 = np.asarray(model_bf.output)
+
+    assert out_bf16.dtype == np.float32
+    assert out_bf16.shape == out_f32.shape
+    # bf16 has ~3 decimal digits; the net output is O(1) image range
+    assert np.max(np.abs(out_bf16 - out_f32)) < 0.1
+    assert np.mean(np.abs(out_bf16 - out_f32)) < 0.02

@@ -197,3 +197,30 @@ def test_sr_model_wave_dispatch_matches_per_step(tiny_dataset, tmp_path):
                 jax.tree_util.tree_leaves(m_wave.ema_variables)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-6)
+
+
+def test_sr_model_bf16_eval_close_to_f32(tiny_dataset, tmp_path):
+    """val: mixed_precision: bfloat16 — the SRModel-family opt-in
+    serving precision; output must come back f32 and close to the f32
+    forward."""
+    gt_dir, lq_dir = tiny_dataset
+    opt = make_opt(gt_dir, lq_dir, tmp_path)
+    model = build_model(opt)
+    rng = np.random.RandomState(3)
+    batch = {'lq': rng.rand(1, 8, 8, 3).astype(np.float32)}
+    model.feed_data(batch)
+    model.test()
+    out_f32 = np.asarray(model.output)
+
+    opt_bf = make_opt(gt_dir, lq_dir, tmp_path)
+    opt_bf['val']['mixed_precision'] = 'bfloat16'
+    model_bf = build_model(opt_bf)
+    model_bf.feed_data(batch)
+    model_bf.variables = model.variables
+    model_bf.ema_variables = model.ema_variables
+    model_bf.test()
+    out_bf16 = np.asarray(model_bf.output)
+
+    assert out_bf16.dtype == np.float32
+    assert out_bf16.shape == out_f32.shape
+    assert np.max(np.abs(out_bf16 - out_f32)) < 0.1
