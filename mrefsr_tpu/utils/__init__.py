@@ -1,5 +1,5 @@
-from .color_util import (bgr2ycbcr, rgb2ycbcr, rgb2ycbcr_jax, ycbcr2bgr,
-                         ycbcr2rgb)
+from .color_util import (bgr2ycbcr, rgb2ycbcr, rgb2ycbcr_jax,
+                         rgb2ycbcr_pt, ycbcr2bgr, ycbcr2rgb)
 from .diffjpeg import DiffJPEG
 from .dist_util import get_dist_info, init_dist, master_only
 from .file_client import FileClient
