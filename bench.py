@@ -13,25 +13,139 @@ vs_baseline = (imgs/sec/chip x 8 chips) / (4 GPUs x nominal per-GPU
 rate). The reference publishes no throughput numbers (BASELINE.md —
 "published": {}), so the per-GPU denominator is a documented nominal
 estimate: REF_IMGS_PER_SEC_PER_GPU = 12.0 (4xGPU DDP, batch 12/GPU —
-a typical V100-class rate for this workload). Replace when a measured
-reference number exists.
+a typical V100-class rate for this workload). The JSON carries
+``baseline_estimated: true`` + the nominal rate so the figure is
+machine-readably honest; replace when a measured reference number
+exists.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Driver-robustness design (each a round-1 failure mode):
+  * persistent compilation cache in ``<repo>/.jax_cache`` — committed,
+    so the next round's driver run warm-starts the (minutes-long on a
+    cold cache) full-graph compile;
+  * ONE compiled graph (the N-step scan), not two;
+  * heartbeat lines on stderr so a watching driver sees progress;
+  * a fail-fast device probe with a hard timeout (the axon tunnel can
+    hang on connect or die with a libtpu version mismatch) and a
+    deadline watchdog — both emit a JSON-parseable error line on
+    stdout instead of dying silently.
+
+Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "baseline_estimated", ...}.
 """
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
-REF_IMGS_PER_SEC_PER_GPU = 12.0
+REF_IMGS_PER_SEC_PER_GPU = 12.0  # nominal estimate, see module docstring
 REF_NUM_GPUS = 4
 TARGET_NUM_CHIPS = 8  # one v5e-8 host
 
+METRIC = 'lmr_5ref_x4_train_imgs_per_sec_per_chip'
+UNIT = 'images/sec/chip'
+_T0 = time.time()
+
+
+def _hb(msg):
+    """Heartbeat to stderr (stdout is reserved for the one JSON line)."""
+    print(f'[bench +{time.time() - _T0:7.1f}s] {msg}', file=sys.stderr,
+          flush=True)
+
+
+def _emit(value, vs_baseline, extra=None):
+    result = {
+        'metric': METRIC,
+        'value': value,
+        'unit': UNIT,
+        'vs_baseline': vs_baseline,
+        'baseline_estimated': True,
+        'baseline_nominal_imgs_per_sec_per_gpu': REF_IMGS_PER_SEC_PER_GPU,
+    }
+    if extra:
+        result.update(extra)
+    print(json.dumps(result), flush=True)
+
+
+def _fail(msg, code=1):
+    _hb(f'FAIL: {msg}')
+    _emit(None, None, {'error': msg})
+    # os._exit: the failure modes this guards (hung tunnel threads,
+    # wedged TPU client) can block a normal interpreter shutdown.
+    sys.stderr.flush()
+    os._exit(code)
+
+
+def _start_watchdog():
+    """Guarantee a JSON line even if the run wedges: after BENCH_DEADLINE
+    seconds (default 20 min), emit an error record and exit."""
+    deadline = float(os.environ.get('BENCH_DEADLINE', '1200'))
+
+    def _expire():
+        _fail(f'deadline watchdog fired after {deadline:.0f}s '
+              f'(compile or device dispatch wedged)', code=3)
+
+    t = threading.Timer(deadline, _expire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+def _probe_devices(timeout_s):
+    """Initialize the backend + run one tiny op, bounded by timeout_s.
+
+    The axon tunnel's first connect can take minutes or hang outright,
+    and a libtpu client/terminal version mismatch kills the first
+    dispatch — probe in a daemon thread so we can fail fast either way.
+    """
+    state = {}
+
+    def _probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+            state['backend'] = jax.default_backend()
+            state['n_devices'] = jax.local_device_count()
+            x = jnp.ones((128, 128), jnp.float32)
+            y = (x @ x).block_until_ready()
+            state['ok'] = bool(float(y[0, 0]) == 128.0)
+        except Exception as e:  # noqa: BLE001 — reported via _fail
+            state['error'] = f'{type(e).__name__}: {e}'
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        _fail(f'device probe did not complete within {timeout_s:.0f}s '
+              '(tunnel hang?)')
+    if 'error' in state:
+        _fail(f'device probe failed: {state["error"]}')
+    if not state.get('ok'):
+        _fail('device probe returned wrong matmul result')
+    return state['backend'], state['n_devices']
+
 
 def main():
+    _start_watchdog()
+    repo = os.path.dirname(os.path.abspath(__file__))
+
     import jax
+    # Persistent compilation cache: survives across rounds (the dir is
+    # committed), so the driver's run warm-starts the full-graph compile.
+    cache_dir = os.environ.get('BENCH_COMPILE_CACHE',
+                               os.path.join(repo, '.jax_cache'))
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+
+    _hb('probing devices (backend init + tiny matmul)...')
+    backend, n_devices = _probe_devices(
+        float(os.environ.get('BENCH_PROBE_TIMEOUT', '300')))
+    _hb(f'backend={backend} devices={n_devices} cache={cache_dir}')
+
     import jax.numpy as jnp
     from mrefsr_tpu.models import build_model
 
@@ -42,7 +156,6 @@ def main():
     per_chip_batch = int(os.environ.get('BENCH_BATCH', '8'))
     gt = int(os.environ.get('BENCH_GT_SIZE', '160'))
     t = 5
-    n_devices = jax.local_device_count()
     b = per_chip_batch * n_devices
 
     opt = {
@@ -73,6 +186,7 @@ def main():
             'mixed_precision': os.environ.get('BENCH_MP', 'bfloat16') or None,
         },
     }
+    _hb('building model...')
     model = build_model(opt)
 
     rng = np.random.RandomState(0)
@@ -84,9 +198,9 @@ def main():
     }
 
     # init params (lazy, shape-driven) and build the step WITHOUT
-    # compiling the single-step jit — only the scanned variants below
-    # are compiled (each full-graph compile costs minutes on a cold
-    # cache)
+    # compiling the single-step jit — only the scanned variant below is
+    # compiled (each full-graph compile costs minutes on a cold cache)
+    _hb(f'initializing params (b={b}, gt={gt}, t={t})...')
     model.feed_data(batch)
     model._train_step_pix = model._build_train_step_pix()
 
@@ -119,38 +233,41 @@ def main():
 
     args = (model.vars_g, model.opt_state_g, model.vars_extractor,
             model.vars_map, match_img_in, refs, lq, gt_dev)
-    # the (tN - t1)/(N - 1) dispatch-cancellation needs N >= 2
     n_steps = max(2, int(os.environ.get('BENCH_STEPS', '16')))
+    run = run_steps(n_steps)
 
-    def measure(run, reps=2):
-        best = float('inf')
-        float(run(*args))  # compile + warm
-        for _ in range(reps):
-            start = time.perf_counter()
-            # the final loss depends on every step's params; float()
-            # is a D2H completion barrier even on runtimes whose
-            # block_until_ready returns at dispatch time
-            float(run(*args))
-            best = min(best, time.perf_counter() - start)
-        return best
+    _hb(f'compiling the {n_steps}-step fused scan '
+        '(minutes on a cold compile cache)...')
+    tc = time.perf_counter()
+    # the final loss depends on every step's params; float() is a D2H
+    # completion barrier even on runtimes whose block_until_ready
+    # returns at dispatch time
+    float(run(*args))
+    t_compile = time.perf_counter() - tc
+    _hb(f'compile+first-run done in {t_compile:.1f}s; timing...')
 
-    t1 = measure(run_steps(1))
-    tn = measure(run_steps(n_steps))
-    # per-step device time with dispatch/transfer overhead cancelled;
-    # guard against measurement noise making tn <= t1
-    elapsed = max(tn - t1, 1e-9) / (n_steps - 1) * n_steps
+    best = float('inf')
+    for rep in range(int(os.environ.get('BENCH_REPS', '2'))):
+        start = time.perf_counter()
+        float(run(*args))
+        elapsed = time.perf_counter() - start
+        best = min(best, elapsed)
+        _hb(f'rep {rep}: {elapsed:.3f}s for {n_steps} steps '
+            f'({b * n_steps / elapsed:.2f} img/s)')
 
-    imgs_per_sec = b * n_steps / elapsed
+    # one dispatch per n_steps optimizer steps: per-step dispatch
+    # overhead is amortized ~n_steps-fold, so no second compiled graph
+    # is needed to cancel it (round 1's two full compiles timed out
+    # under the driver)
+    imgs_per_sec = b * n_steps / best
     imgs_per_sec_chip = imgs_per_sec / n_devices
-    result = {
-        'metric': 'lmr_5ref_x4_train_imgs_per_sec_per_chip',
-        'value': round(imgs_per_sec_chip, 3),
-        'unit': 'images/sec/chip',
-        'vs_baseline': round(
-            imgs_per_sec_chip * TARGET_NUM_CHIPS /
-            (REF_IMGS_PER_SEC_PER_GPU * REF_NUM_GPUS), 3),
-    }
-    print(json.dumps(result))
+    _emit(round(imgs_per_sec_chip, 3),
+          round(imgs_per_sec_chip * TARGET_NUM_CHIPS /
+                (REF_IMGS_PER_SEC_PER_GPU * REF_NUM_GPUS), 3),
+          {'backend': backend, 'n_devices': n_devices,
+           'per_chip_batch': per_chip_batch, 'gt_size': gt,
+           'n_steps_per_dispatch': n_steps,
+           'compile_plus_first_run_s': round(t_compile, 1)})
 
 
 if __name__ == '__main__':
