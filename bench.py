@@ -143,7 +143,7 @@ def main():
 
     _hb('probing devices (backend init + tiny matmul)...')
     backend, n_devices = _probe_devices(
-        float(os.environ.get('BENCH_PROBE_TIMEOUT', '300')))
+        float(os.environ.get('BENCH_PROBE_TIMEOUT', '600')))
     _hb(f'backend={backend} devices={n_devices} cache={cache_dir}')
 
     import jax.numpy as jnp
