@@ -118,12 +118,17 @@ class MultiRefCUFEDSet:
     """CUFED5 5-reference eval set
     (reference multi_ref_dataset.py:143-227): input ``*_0.png``, refs
     ``*_1..5.png``, mod-cropped, zero-padded to 500x500 with
-    ``padding``/``original_size`` so validation can un-pad."""
+    ``padding``/``original_size`` so validation can un-pad.
+
+    ``pad_to`` (default 500, the reference protocol) sets the padded
+    canvas; smaller buckets trade one-compile static shapes for less
+    wasted compute when all images fit a smaller canvas."""
 
     def __init__(self, opt):
         import cv2
         self.cv2 = cv2
         self.opt = opt
+        self.pad_to = int(opt.get('pad_to', 500))
         root_in, root_ref = opt['dataroot_in'], opt['dataroot_ref']
         self.input_list = sorted(glob.glob(osp.join(root_in, '*_0.png')))
         self.ref_lists = [
@@ -146,7 +151,7 @@ class MultiRefCUFEDSet:
         img_in_gt = img_in.copy()
         img_in_h, img_in_w = img_in.shape[:2]
 
-        gt_h, gt_w = 500, 500
+        gt_h, gt_w = self.pad_to, self.pad_to
         img_in = _impad_to(img_in, (gt_h, gt_w))
         refs = [_impad_to(r, (gt_h, gt_w)) for r in refs]
 

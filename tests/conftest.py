@@ -17,6 +17,18 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# Persistent compilation cache: the heavy parity compiles (SwinIR,
+# BasicVSR++, StyleGAN2, the multi-ref train graphs) dominate suite wall
+# time; warm runs skip them entirely.
+_cache_dir = os.environ.get(
+    'MREFSR_TEST_COMPILE_CACHE',
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), '.jax_cache_tests'))
+if _cache_dir:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 assert jax.default_backend() == 'cpu', (
     'tests must run on the virtual CPU mesh, got '
     f'{jax.default_backend()}')
