@@ -166,7 +166,14 @@ def main():
         'network_g': {'type': 'MRAPARestorationNet', 'ngf': 64,
                       'n_blocks': 16, 'groups': 8,
                       'ref_unroll': int(os.environ.get(
-                          'BENCH_REF_UNROLL', '1'))},
+                          'BENCH_REF_UNROLL', '1')),
+                      # the lp (gt=300) config needs the heavier remat
+                      # policy to fit HBM: BENCH_GT_SIZE=300
+                      # BENCH_DCN_OUTER_REMAT=1 BENCH_FUSION_REMAT=1
+                      'dcn_outer_remat': bool(int(os.environ.get(
+                          'BENCH_DCN_OUTER_REMAT', '0'))),
+                      'fusion_remat': bool(int(os.environ.get(
+                          'BENCH_FUSION_REMAT', '0')))},
         'network_map': {'type': 'CorrespondenceGenerationArch',
                         'patch_size': 3, 'stride': 1,
                         'vgg_layer_list': ['relu1_1', 'relu2_1',

@@ -23,7 +23,11 @@ from mrefsr_tpu.data.data_util import match_point_crop
 
 def _impad_to(img, shape, pad_val=0):
     """Zero-pad bottom/right to a target (h, w) (mmcv.impad equivalent,
-    used at reference multi_ref_dataset.py:175-180)."""
+    used at reference multi_ref_dataset.py:175-180). A dimension larger
+    than the target is top-left-cropped first — only reachable with
+    bucketed ``pad_to`` canvases, where a reference image may exceed
+    the bucket its (smaller) input selected."""
+    img = img[:shape[0], :shape[1]]
     h, w = img.shape[:2]
     ph, pw = shape[0] - h, shape[1] - w
     return np.pad(img, ((0, ph), (0, pw), (0, 0)), constant_values=pad_val)
@@ -121,14 +125,29 @@ class MultiRefCUFEDSet:
     ``padding``/``original_size`` so validation can un-pad.
 
     ``pad_to`` (default 500, the reference protocol) sets the padded
-    canvas; smaller buckets trade one-compile static shapes for less
-    wasted compute when all images fit a smaller canvas."""
+    canvas. A list (e.g. ``pad_to: [300, 400, 500]``) enables bucketed
+    serving: each image pads to the smallest listed canvas it fits,
+    trading a bounded number of compiled eval graphs (one per bucket
+    actually used) for far less wasted compute — most CUFED5 images are
+    well under 500px on a side. Buckets are a serving knob only; the
+    +-0.05 dB parity gate keeps the reference's single 500 canvas
+    (padding extent perturbs patch matching near borders)."""
 
     def __init__(self, opt):
         import cv2
         self.cv2 = cv2
         self.opt = opt
-        self.pad_to = int(opt.get('pad_to', 500))
+        pad_opt = opt.get('pad_to', 500)
+        if isinstance(pad_opt, (list, tuple)):
+            self.pad_buckets = sorted(int(v) for v in pad_opt)
+        else:
+            self.pad_buckets = [int(pad_opt)]
+        scale = int(opt.get('scale', 4))
+        for b in self.pad_buckets:
+            if b % scale:
+                raise ValueError(
+                    f'pad_to canvas {b} must be divisible by scale '
+                    f'{scale} (the LQ canvas is pad_to/scale)')
         root_in, root_ref = opt['dataroot_in'], opt['dataroot_ref']
         self.input_list = sorted(glob.glob(osp.join(root_in, '*_0.png')))
         self.ref_lists = [
@@ -151,7 +170,12 @@ class MultiRefCUFEDSet:
         img_in_gt = img_in.copy()
         img_in_h, img_in_w = img_in.shape[:2]
 
-        gt_h, gt_w = self.pad_to, self.pad_to
+        # smallest bucket the mod-cropped input fits (refs are padded
+        # or cropped to the same canvas, as the reference does at 500)
+        need = max(img_in_h, img_in_w)
+        canvas = next((b for b in self.pad_buckets if b >= need),
+                      self.pad_buckets[-1])
+        gt_h, gt_w = canvas, canvas
         img_in = _impad_to(img_in, (gt_h, gt_w))
         refs = [_impad_to(r, (gt_h, gt_w)) for r in refs]
 

@@ -50,7 +50,10 @@ class DevicePrefetcher:
                 out[k] = v
                 continue
             if hasattr(v, 'dtype') and v.dtype.kind == 'f':
-                out[k] = jax.device_put(v, self.sharding)
+                from mrefsr_tpu.parallel import put_sharded
+                out[k] = put_sharded(v, self.sharding) \
+                    if self.sharding is not None \
+                    else jax.device_put(v)
             else:
                 out[k] = v
         return out

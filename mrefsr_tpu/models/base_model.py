@@ -172,6 +172,41 @@ class BaseModel:
             self, 'schedule_fn') else 1.0
         return [lr * mult for lr in self.base_lrs] or [0.0]
 
+    # ------------------------------------------------------------------ eval
+    def _prepare_eval_variables(self, variables, dtype=None, name='g'):
+        """Per-validation-round eval copy of ``variables`` (cached by
+        source-pytree identity), applying two transformations ONCE
+        instead of on every jitted eval call:
+
+        * **multi-process locality**: validation work is per-process —
+          frame shards (reference video_base_model.py:46) or rank-0-only
+          (reference multi_ref_restoration_model.py:310-316) — so the
+          eval jit must be a process-LOCAL computation. The training
+          variables are replicated over the *global* mesh; feeding them
+          in would make every eval call a global SPMD program, and a
+          different call count per process deadlocks the collective.
+          Pull the (fully-replicated, hence locally-addressable) values
+          to host and let the local jit re-place them.
+        * **serving dtype** (``val: mixed_precision: bfloat16``): cast
+          f32 leaves once, instead of re-materializing a transient bf16
+          copy of all params inside the step on every invocation.
+        """
+        cache = getattr(self, '_eval_vars_cache', None)
+        if cache is None:
+            cache = self._eval_vars_cache = {}
+        hit = cache.get(name)
+        if hit is not None and hit[0] is variables and hit[1] == dtype:
+            return hit[2]
+        out = variables
+        if jax.process_count() > 1:
+            out = jax.tree_util.tree_map(np.asarray, out)
+        if dtype is not None:
+            out = jax.tree_util.tree_map(
+                lambda v: v.astype(dtype)
+                if v.dtype == jnp.float32 else v, out)
+        cache[name] = (variables, dtype, out)
+        return out
+
     # ------------------------------------------------------------------ EMA
     @staticmethod
     def ema_update(ema_params, params, decay):

@@ -15,7 +15,7 @@ import optax
 
 from mrefsr_tpu.archs import build_network
 from mrefsr_tpu.losses import build_loss
-from mrefsr_tpu.parallel import batch_sharding, replicate
+from mrefsr_tpu.parallel import batch_sharding, put_sharded, replicate
 from mrefsr_tpu.utils import get_root_logger
 from mrefsr_tpu.utils.registry import MODEL_REGISTRY
 
@@ -228,8 +228,8 @@ class HiFaceGANModel(SRModel):
         if self._train_step is None:
             self._train_step = self._build_train_step()
         sharding = batch_sharding(self.mesh)
-        lq = jax.device_put(self.lq, sharding)
-        gt = jax.device_put(self.gt, sharding)
+        lq = put_sharded(self.lq, sharding)
+        gt = put_sharded(self.gt, sharding)
         g_turn = (current_iter % self.net_d_iters == 0
                   and current_iter > self.net_d_init_iters)
         (self.variables, self.opt_state, self.vars_d, self.opt_state_d,

@@ -25,7 +25,7 @@ import optax
 from mrefsr_tpu.archs import build_network
 from mrefsr_tpu.losses import legacy_losses
 from mrefsr_tpu.metrics import calculate_psnr, calculate_ssim
-from mrefsr_tpu.parallel import batch_sharding, replicate
+from mrefsr_tpu.parallel import batch_sharding, put_sharded, replicate
 from mrefsr_tpu.utils import get_root_logger, imwrite, tensor2img
 from mrefsr_tpu.utils.registry import MODEL_REGISTRY
 
@@ -377,17 +377,9 @@ class MultiRefRestorationModel(BaseModel):
         # reported PSNR/SSIM match the reference bit policy.
         mp = (self.opt.get('val') or {}).get('mixed_precision')
 
-        def cast_tree(tree, dtype):
-            return jax.tree_util.tree_map(
-                lambda v: v.astype(dtype)
-                if v.dtype == jnp.float32 else v, tree)
-
         def step(vars_g, vars_ex, vars_map, match_img_in, refs, lq):
             if mp == 'bfloat16':
                 bf = jnp.bfloat16
-                vars_g = cast_tree(vars_g, bf)
-                vars_ex = cast_tree(vars_ex, bf)
-                vars_map = cast_tree(vars_map, bf)
                 match_img_in = match_img_in.astype(bf)
                 refs = refs.astype(bf)
                 lq = lq.astype(bf)
@@ -412,10 +404,10 @@ class MultiRefRestorationModel(BaseModel):
 
     def optimize_parameters(self, step):
         sharding = batch_sharding(self.mesh)
-        match_img_in = jax.device_put(self.match_img_in, sharding)
-        refs = jax.device_put(self.img_ref_list, sharding)
-        lq = jax.device_put(self.img_in_lq, sharding)
-        gt = jax.device_put(self.gt, sharding)
+        match_img_in = put_sharded(self.match_img_in, sharding)
+        refs = put_sharded(self.img_ref_list, sharding)
+        lq = put_sharded(self.img_in_lq, sharding)
+        gt = put_sharded(self.gt, sharding)
 
         if step <= self.net_g_pretrain_steps or self.net_d is None:
             if self._train_step_pix is None:
@@ -463,10 +455,10 @@ class MultiRefRestorationModel(BaseModel):
 
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(self.mesh, P(None, 'data'))
-        mi = jax.device_put(np.stack(mis), sh)
-        refs = jax.device_put(np.stack(refss), sh)
-        lq = jax.device_put(np.stack(lqs), sh)
-        gt = jax.device_put(np.stack(gts), sh)
+        mi = put_sharded(np.stack(mis), sh)
+        refs = put_sharded(np.stack(refss), sh)
+        lq = put_sharded(np.stack(lqs), sh)
+        gt = put_sharded(np.stack(gts), sh)
 
         if self._train_step_wave is None:
             raw = self._train_step_pix_raw
@@ -634,8 +626,13 @@ class MultiRefRestorationModel(BaseModel):
     def test(self):
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
-        self.output = self._eval_step(self.vars_g, self.vars_extractor,
-                                      self.vars_map,
+        mp = (self.opt.get('val') or {}).get('mixed_precision')
+        dt = jnp.bfloat16 if mp == 'bfloat16' else None
+        vars_g = self._prepare_eval_variables(self.vars_g, dt, 'g')
+        vars_ex = self._prepare_eval_variables(self.vars_extractor, dt,
+                                               'extractor')
+        vars_map = self._prepare_eval_variables(self.vars_map, dt, 'map')
+        self.output = self._eval_step(vars_g, vars_ex, vars_map,
                                       jnp.asarray(self.match_img_in),
                                       jnp.asarray(self.img_ref_list),
                                       jnp.asarray(self.img_in_lq))

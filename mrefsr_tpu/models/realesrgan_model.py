@@ -65,13 +65,13 @@ class RealESRGANModel(SRGANModel):
         self.is_train = True
 
     def optimize_parameters(self, current_iter):
-        from mrefsr_tpu.parallel import batch_sharding
+        from mrefsr_tpu.parallel import batch_sharding, put_sharded
         if self._train_step is None:
             self._train_step = self._build_train_step()
         sharding = batch_sharding(self.mesh)
-        lq = jax.device_put(self.lq, sharding)
-        gt = jax.device_put(self.gt, sharding)
-        gt_usm = jax.device_put(self.gt_usm, sharding) \
+        lq = put_sharded(self.lq, sharding)
+        gt = put_sharded(self.gt, sharding)
+        gt_usm = put_sharded(self.gt_usm, sharding) \
             if self.gt_usm is not None else gt
         # per-loss GT routing (reference realesrgan_model.py:196-204)
         gt_pix = gt_usm if self.opt.get('l1_gt_usm', True) else gt

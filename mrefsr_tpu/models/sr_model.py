@@ -17,7 +17,7 @@ import optax
 from mrefsr_tpu.archs import build_network
 from mrefsr_tpu.losses import build_loss
 from mrefsr_tpu.metrics import calculate_metric
-from mrefsr_tpu.parallel import batch_sharding, replicate
+from mrefsr_tpu.parallel import batch_sharding, put_sharded, replicate
 from mrefsr_tpu.utils import get_root_logger, imwrite, tensor2img
 from mrefsr_tpu.utils.registry import MODEL_REGISTRY
 
@@ -224,16 +224,14 @@ class SRModel(BaseModel):
         net_apply = self.net_g.apply
         # opt-in bf16 inference (val: mixed_precision: bfloat16) for the
         # whole SRModel family; output returns to f32 before the metric
-        # path. Default stays f32 for reference-parity numerics.
+        # path. Default stays f32 for reference-parity numerics. The
+        # variables themselves are cast once per validation round in
+        # _prepare_eval_variables, not per call.
         mp = (self.opt.get('val') or {}).get('mixed_precision')
 
         def step(variables, lq):
             if mp == 'bfloat16':
-                bf = jnp.bfloat16
-                variables = jax.tree_util.tree_map(
-                    lambda v: v.astype(bf)
-                    if v.dtype == jnp.float32 else v, variables)
-                lq = lq.astype(bf)
+                lq = lq.astype(jnp.bfloat16)
             return net_apply(variables, lq).astype(jnp.float32)
 
         return jax.jit(step)
@@ -249,8 +247,8 @@ class SRModel(BaseModel):
         if self._train_step is None:
             self._train_step = self._build_train_step()
         sharding = batch_sharding(self.mesh)
-        lq = jax.device_put(self.lq, sharding)
-        gt = jax.device_put(self.gt, sharding)
+        lq = put_sharded(self.lq, sharding)
+        gt = put_sharded(self.gt, sharding)
         ema = self.ema_variables if self.ema_decay > 0 else None
         self.variables, self.opt_state, self.ema_variables, losses = \
             self._train_step(self.variables, self.opt_state, ema,
@@ -288,8 +286,8 @@ class SRModel(BaseModel):
         # np.stack would round-trip every batch through the host; stack
         # device arrays with jnp instead
         stack = jnp.stack if isinstance(lqs[0], jax.Array) else np.stack
-        lq = jax.device_put(stack(lqs), sh)
-        gt = jax.device_put(stack(gts), sh)
+        lq = put_sharded(stack(lqs), sh)
+        gt = put_sharded(stack(gts), sh)
 
         if getattr(self, '_train_step_wave', None) is None:
             raw = self._train_step_raw
@@ -324,6 +322,9 @@ class SRModel(BaseModel):
         variables = self.ema_variables if (
             self.ema_decay > 0 and self.ema_variables is not None) \
             else self.variables
+        mp = (self.opt.get('val') or {}).get('mixed_precision')
+        variables = self._prepare_eval_variables(
+            variables, jnp.bfloat16 if mp == 'bfloat16' else None)
         lq = jnp.asarray(self.lq)
         # opt-in recompile control for variable-size test sets: reflect-pad
         # LQ up to a multiple of `val.pad_multiple` (bucketing shapes into

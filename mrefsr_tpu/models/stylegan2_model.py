@@ -282,6 +282,7 @@ class StyleGAN2Model(BaseModel):
         # input batch), so build/load the nets here if needed
         self._ensure_initialized()
         variables = self.ema_variables or self.variables
+        variables = self._prepare_eval_variables(variables)
         self.output, _ = self.net_g.apply(
             {'params': variables['params']},
             [jnp.asarray(self.fixed_sample)],

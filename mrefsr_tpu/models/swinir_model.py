@@ -40,6 +40,9 @@ class _SwinIRTestMixin:
         variables = self.ema_variables if (
             getattr(self, 'ema_decay', 0) > 0
             and self.ema_variables is not None) else self.variables
+        mp = (self.opt.get('val') or {}).get('mixed_precision')
+        variables = self._prepare_eval_variables(
+            variables, jnp.bfloat16 if mp == 'bfloat16' else None)
         out = self._eval_step(variables, img)
         oh, ow = out.shape[1], out.shape[2]
         self.output = out[:, :oh - mod_pad_h * scale,

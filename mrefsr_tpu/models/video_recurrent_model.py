@@ -152,6 +152,9 @@ class _RecurrentValidationMixin:
         variables = self.ema_variables if (
             self.ema_decay > 0 and self.ema_variables is not None) \
             else self.variables
+        mp = (self.opt.get('val') or {}).get('mixed_precision')
+        variables = self._prepare_eval_variables(
+            variables, jnp.bfloat16 if mp == 'bfloat16' else None)
         output = self._eval_step(variables, lq)
         if flip_seq:
             output = 0.5 * (output[:, :n] + output[:, n:][:, ::-1])

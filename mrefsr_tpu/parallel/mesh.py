@@ -24,7 +24,9 @@ def get_data_mesh(num_devices=None):
     so a rebuild never changes an existing model's sharding."""
     global _mesh
     devices = jax.devices()
-    want = len(devices) if num_devices is None \
+    # falsy (None / 0 / 'auto'-resolved absent) means ALL devices — an
+    # empty mesh is never meaningful
+    want = len(devices) if not num_devices \
         else min(int(num_devices), len(devices))
     if _mesh is None or _mesh.devices.size != want:
         _mesh = Mesh(np.array(devices[:want]), ('data',))
@@ -41,6 +43,26 @@ def replicate_sharding(mesh=None):
     return NamedSharding(mesh, P())
 
 
+def put_sharded(x, sharding):
+    """Place one host-local batch array onto a (possibly multi-host)
+    sharding.
+
+    Single-process: plain ``jax.device_put`` (async H2D, overlaps with
+    compute). Multi-process: each host contributes its process-local
+    rows via ``jax.make_array_from_process_local_data`` — the TPU-native
+    equivalent of DDP's per-rank batches (each reference rank feeds its
+    own sampler shard, reference data_sampler.py:39); a plain
+    ``device_put`` would require every host to hold the *global* batch
+    and raises when the per-host values differ.
+    """
+    if x is None:
+        return None
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(batch, mesh=None):
     """Place a pytree of host arrays with the batch axis sharded over the
     mesh; non-array leaves pass through."""
@@ -48,7 +70,7 @@ def shard_batch(batch, mesh=None):
 
     def put(x):
         if hasattr(x, 'shape') and getattr(x, 'ndim', 0) >= 1:
-            return jax.device_put(x, sharding)
+            return put_sharded(x, sharding)
         return x
 
     return jax.tree_util.tree_map(put, batch)

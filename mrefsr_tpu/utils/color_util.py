@@ -100,5 +100,13 @@ def rgb2ycbcr_jax(img, y_only=False):
     return out / 255.
 
 
-# torch-API-compatible alias for converted code paths; takes NHWC.
-rgb2ycbcr_pt = rgb2ycbcr_jax
+def rgb2ycbcr_pt(img, y_only=False):
+    """True drop-in for the reference's ``rgb2ycbcr_pt``
+    (color_util.py:186-208): takes (n, 3, h, w) in [0, 1] and returns
+    the same channel-first layout, so code ported from the reference
+    keeps its shapes. The TPU-native NHWC variant is
+    :func:`rgb2ycbcr_jax` — prefer it in new code (channel-last is the
+    framework-wide layout)."""
+    import jax.numpy as jnp
+    out = rgb2ycbcr_jax(jnp.moveaxis(img, 1, -1), y_only=y_only)
+    return jnp.moveaxis(out, -1, 1)

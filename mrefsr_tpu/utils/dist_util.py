@@ -27,6 +27,16 @@ def init_dist(launcher=None, backend=None, **kwargs):
     # initializes the backend, after which jax.distributed.initialize()
     # raises and every host would silently fall back to rank 0
     if os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        # env-rank launch contract (the analog of the reference's
+        # _init_dist_pytorch reading RANK/WORLD_SIZE set by
+        # torch.distributed.launch, reference dist_util.py:21-25):
+        # jax reads JAX_COORDINATOR_ADDRESS itself but leaves process
+        # topology to cluster auto-detection, which generic launchers
+        # don't provide — honor the matching env vars here.
+        for key, env in (('num_processes', 'JAX_NUM_PROCESSES'),
+                         ('process_id', 'JAX_PROCESS_ID')):
+            if key not in kwargs and os.environ.get(env):
+                kwargs[key] = int(os.environ[env])
         jax.distributed.initialize(**kwargs)
     elif jax.process_count() > 1:
         try:

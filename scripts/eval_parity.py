@@ -91,8 +91,11 @@ def main():
     p.add_argument('--bf16', action='store_true',
                    help='bfloat16 serving precision (NOT for the parity '
                         'gate; reference numerics are f32)')
-    p.add_argument('--canvas', type=int, default=500,
-                   help='padded eval canvas (500 = reference protocol)')
+    p.add_argument('--canvas', default='500',
+                   help='padded eval canvas (500 = reference protocol); '
+                        'a comma list, e.g. 300,400,500, enables '
+                        'bucketed serving canvases (NOT for the parity '
+                        'gate)')
     p.add_argument('--ngf', type=int, default=64,
                    help='net_g width (64 = released checkpoints)')
     p.add_argument('--n-blocks', type=int, default=16)
@@ -107,6 +110,8 @@ def main():
     for path in (args.net_g, args.extractor, args.cufed5):
         if not osp.exists(path):
             p.error(f'not found: {path}')
+    buckets = [int(v) for v in str(args.canvas).split(',')]
+    args.canvas = buckets[0] if len(buckets) == 1 else buckets
 
     import logging
 

@@ -105,6 +105,26 @@ def test_multi_ref_cufed_set(cufed_root):
                                raw[..., ::-1].astype(np.float32) / 255.)
 
 
+def test_multi_ref_cufed_set_bucketed_pad(cufed_root):
+    """pad_to as a list picks the smallest bucket the mod-cropped input
+    fits; over-sized refs crop to the same canvas."""
+    opt = {'name': 'cufed5', 'type': 'MultiRefCUFEDSet', 'phase': 'val',
+           'scale': 4, 'dataroot_in': cufed_root,
+           'dataroot_ref': cufed_root, 'pad_to': [128, 300, 500]}
+    ds = build_dataset(opt)
+    item = ds[0]
+    # input 120x84 fits the 128 bucket; refs (140x150) crop to 128
+    assert item['original_size'] == (120, 84)
+    assert item['img_in_lq'].shape == (32, 32, 3)        # 128/4
+    assert item['img_in_up'].shape == (128, 128, 3)
+    assert item['img_ref_list'].shape == (5, 128, 128, 3)
+    # un-padded gt is canvas-independent
+    assert item['img_in'].shape == (120, 84, 3)
+
+    with pytest.raises(ValueError):
+        build_dataset(dict(opt, pad_to=[130]))  # not divisible by scale
+
+
 def test_enlarged_sampler_sharding_and_epoch_seed():
     ds = list(range(10))
     s0 = EnlargedSampler(ds, num_replicas=2, rank=0, ratio=2)

@@ -126,3 +126,21 @@ def test_ycbcr_roundtrip():
     img = RNG.rand(8, 8, 3).astype(np.float32)
     back = ycbcr2rgb(rgb2ycbcr(img))
     np.testing.assert_allclose(back, img, atol=2e-2)
+
+
+@pytest.mark.parametrize('y_only', [False, True])
+def test_rgb2ycbcr_pt_takes_nchw(y_only):
+    """rgb2ycbcr_pt is a true drop-in for the reference's
+    (color_util.py:186-208): (n, 3, h, w) in -> (n, 3|1, h, w) out,
+    matching the numpy rgb2ycbcr values. A tall NCHW batch (w=3 would
+    be ambiguous with NHWC) guards the layout."""
+    from mrefsr_tpu.utils import rgb2ycbcr_pt
+    img = RNG.rand(2, 3, 8, 5).astype(np.float32)
+    out = np.asarray(rgb2ycbcr_pt(img, y_only=y_only))
+    assert out.shape == (2, 1 if y_only else 3, 8, 5)
+    for n in range(2):
+        want = rgb2ycbcr(img[n].transpose(1, 2, 0), y_only=y_only)
+        if y_only:
+            want = want[..., None]
+        np.testing.assert_allclose(out[n].transpose(1, 2, 0), want,
+                                   atol=1e-5)
