@@ -64,6 +64,7 @@ class MultiRefRestorationModel(BaseModel):
         self._train_step_pix = None
         self._train_step_gan = None
         self._train_step_wave = None
+        self._train_step_gan_wave = None
         self._eval_step = None
         self._resume_trees = None
 
@@ -428,16 +429,24 @@ class MultiRefRestorationModel(BaseModel):
         step index, so each scanned step sees its own LR). Enabled by
         ``train: steps_per_dispatch: K`` in the options YAML.
 
-        Falls back to per-step ``optimize_parameters`` when the wave
-        would touch the GAN phase (D/G alternation has host-side phase
-        logic).
+        GAN-phase waves are fused too (``_optimize_gan_wave``): the D/G
+        alternation is pure arithmetic on the step index, so ``g_turn``
+        is computed inside the scan body. Only a wave that CROSSES the
+        pixel→GAN boundary (happens once per run) falls back to
+        per-step dispatch.
         """
         k = len(batches)
-        if k == 1 or (self.net_d is not None and
-                      first_iter + k - 1 > self.net_g_pretrain_steps):
+        gan_phase = (self.net_d is not None
+                     and first_iter > self.net_g_pretrain_steps)
+        crosses = (self.net_d is not None and not gan_phase
+                   and first_iter + k - 1 > self.net_g_pretrain_steps)
+        if k == 1 or crosses:
             for j, b in enumerate(batches):
                 self.feed_data(b)
                 self.optimize_parameters(first_iter + j)
+            return
+        if gan_phase:
+            self._optimize_gan_wave(batches, first_iter)
             return
 
         # normalize every batch through feed_data (the single-ref
@@ -607,6 +616,8 @@ class MultiRefRestorationModel(BaseModel):
             losses.update(g_aux)
             return vars_g, vars_d, opt_g, opt_d, losses
 
+        # unjitted step for the GAN wave (lax.scan over steps)
+        self._train_step_gan_raw = step
         return jax.jit(step, donate_argnums=(0, 1, 2, 3))
 
     def _optimize_gan(self, step, match_img_in, refs, lq, gt):
@@ -622,6 +633,69 @@ class MultiRefRestorationModel(BaseModel):
             self.vars_extractor, self.vars_map,
             match_img_in, refs, lq, gt, rng, g_turn)
         self.log_dict = self.reduce_loss_dict(losses)
+
+    def _optimize_gan_wave(self, batches, first_iter):
+        """``len(batches)`` GAN-phase steps fused into one jitted
+        ``lax.scan`` dispatch. Trajectory-identical to per-step
+        ``_optimize_gan``: the rng keys are drawn host-side from the
+        same stream (one ``next_rng()`` per step) and ``g_turn`` is the
+        same step-index arithmetic, evaluated on the traced index."""
+        if self._train_step_gan is None:
+            self._train_step_gan = self._build_train_step_gan()
+
+        mis, refss, lqs, gts = [], [], [], []
+        for b in batches:
+            self.feed_data(b)
+            mis.append(self.match_img_in)
+            refss.append(self.img_ref_list)
+            lqs.append(self.img_in_lq)
+            gts.append(self.gt)
+        rngs = jnp.stack([self.next_rng() for _ in batches])
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, 'data'))
+        mi = put_sharded(np.stack(mis), sh)
+        refs = put_sharded(np.stack(refss), sh)
+        lq = put_sharded(np.stack(lqs), sh)
+        gt = put_sharded(np.stack(gts), sh)
+
+        if self._train_step_gan_wave is None:
+            raw = self._train_step_gan_raw
+            pretrain = self.net_g_pretrain_steps
+            d_steps = self.net_d_steps
+            init_steps = self.net_d_init_steps
+
+            def wave(vars_g, vars_d, opt_g, opt_d, vars_ex, vars_map,
+                     mi, refs, lq, gt, rngs, i0):
+                def body(carry, xs):
+                    vg, vd, og, od = carry
+                    mi_, r_, lq_, gt_, rng_, idx = xs
+                    g_turn = jnp.logical_and(
+                        (idx - pretrain) % d_steps == 0,
+                        idx - pretrain > init_steps)
+                    vg, vd, og, od, losses = raw(
+                        vg, vd, og, od, vars_ex, vars_map,
+                        mi_, r_, lq_, gt_, rng_, g_turn)
+                    return (vg, vd, og, od), losses
+                carry, losses = jax.lax.scan(
+                    body, (vars_g, vars_d, opt_g, opt_d),
+                    (mi, refs, lq, gt, rngs,
+                     i0 + jnp.arange(mi.shape[0])))
+                return carry + (losses,)
+            self._train_step_gan_wave = jax.jit(
+                wave, donate_argnums=(0, 1, 2, 3))
+
+        (self.vars_g, self.vars_d, self.opt_state_g, self.opt_state_d,
+         losses) = self._train_step_gan_wave(
+            self.vars_g, self.vars_d, self.opt_state_g, self.opt_state_d,
+            self.vars_extractor, self.vars_map, mi, refs, lq, gt, rngs,
+            jnp.asarray(first_iter))
+        # full per-step loss trajectory of the wave (k scalars per key);
+        # kept for trajectory-parity tests and rich logging
+        self.wave_loss_trajectory = jax.tree_util.tree_map(
+            np.asarray, losses)
+        self.log_dict = self.reduce_loss_dict(
+            jax.tree_util.tree_map(lambda x: x[-1], losses))
 
     def test(self):
         if self._eval_step is None:

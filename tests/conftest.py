@@ -20,10 +20,28 @@ jax.config.update('jax_platforms', 'cpu')
 # Persistent compilation cache: the heavy parity compiles (SwinIR,
 # BasicVSR++, StyleGAN2, the multi-ref train graphs) dominate suite wall
 # time; warm runs skip them entirely.
+#
+# The cache dir is keyed by a host-CPU fingerprint: XLA:CPU AOT entries
+# bake in the compile machine's vector features, so an entry produced on
+# one host can SIGILL (or codegen differently) when loaded on another.
+# A new machine silently gets a fresh subdir instead of stale binaries.
+def _host_fingerprint():
+    import hashlib
+    import platform
+    try:
+        with open('/proc/cpuinfo') as f:
+            flags = next((l for l in f if l.startswith('flags')), '')
+    except OSError:
+        flags = ''
+    key = platform.machine() + platform.processor() + flags
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
+
+
 _cache_dir = os.environ.get(
     'MREFSR_TEST_COMPILE_CACHE',
     os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), '.jax_cache_tests'))
+        os.path.abspath(__file__))), '.jax_cache_tests',
+        _host_fingerprint()))
 if _cache_dir:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', _cache_dir)

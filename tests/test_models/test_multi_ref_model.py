@@ -235,6 +235,124 @@ def test_wave_falls_back_across_gan_boundary():
 
 
 @pytest.mark.slow
+def test_gan_wave_dispatch_matches_per_step():
+    """A wave entirely inside the GAN phase fuses the D/G alternation
+    into one lax.scan dispatch (_optimize_gan_wave) and must reproduce
+    the per-step trajectory: same rng stream, same g_turn arithmetic on
+    the traced step index. net_d_init_steps=1 makes the wave cover both
+    a G-skipped and a G-updated step.
+
+    Exact-params comparison is NOT the right oracle here: the per-step
+    executable and the scan body are two different XLA compiles, and
+    Adam amplifies their fp-reassociation noise on near-zero gradients
+    to the full update scale (~1e-4 abs after 4 steps, measured). The
+    sharp, compile-robust oracle is the PER-STEP LOSS TRAJECTORY: a
+    wrong rng key or a shifted g_turn at step j changes that step's
+    losses by orders of magnitude, while fp drift moves them ~1e-4
+    relative. Params are held to the update-scale envelope."""
+    import jax
+
+    def gan_opt():
+        opt = make_opt(multi=True, gan=True)  # pretrain_steps = 2
+        opt['train']['net_d_init_steps'] = 1
+        opt['train']['grad_penalty_weight'] = 0.0
+        return opt
+
+    batches = [make_batch(np.random.RandomState(300 + i), b=2, t=2)
+               for i in range(6)]
+
+    m_seq = build_model(gan_opt())
+    seq_traj = []
+    for i, b in enumerate(batches, start=1):
+        m_seq.feed_data(b)
+        m_seq.optimize_parameters(i)
+        if i > 2:  # GAN phase
+            seq_traj.append(dict(m_seq.log_dict))
+
+    m_wave = build_model(gan_opt())
+    for i, b in enumerate(batches[:2], start=1):  # pixel pretrain
+        m_wave.feed_data(b)
+        m_wave.optimize_parameters(i)
+    m_wave.optimize_parameters_wave(batches[2:], 3)  # GAN iters 3-6
+
+    # per-step loss trajectory across the whole wave
+    traj = m_wave.wave_loss_trajectory
+    for key in ('l_d_real', 'l_d_fake', 'l_g_gan'):
+        assert key in traj, key
+        wave_vals = np.asarray(traj[key])
+        seq_vals = np.asarray([t[key] for t in seq_traj])
+        np.testing.assert_allclose(wave_vals, seq_vals,
+                                   rtol=5e-3, atol=1e-5)
+
+    # params within the cumulative-update envelope (semantic bugs — a
+    # wrong g_turn or rng — shift by the full update scale x steps)
+    for attr in ('vars_g', 'vars_d'):
+        seq = jax.tree_util.tree_leaves(getattr(m_seq, attr))
+        wav = jax.tree_util.tree_leaves(getattr(m_wave, attr))
+        for a, b in zip(seq, wav):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=1e-3)
+    for key in ('l_d_real', 'l_g_gan'):
+        assert key in m_wave.log_dict, key
+        np.testing.assert_allclose(m_wave.log_dict[key],
+                                   m_seq.log_dict[key], rtol=5e-3,
+                                   atol=1e-5)
+
+
+@pytest.mark.slow
+def test_gan_wave_with_grad_penalty_tracks_per_step():
+    """GAN wave with the WGAN-GP configuration: the second-order GP
+    gradient amplifies fp-reassociation differences between the
+    standalone per-step executable and the scan body, so the params
+    comparison is loose — it still catches semantic bugs (a wrong
+    g_turn or rng stream shifts params by the full update scale, orders
+    of magnitude past this tolerance). Last-step first-order losses
+    must track tightly."""
+    import jax
+
+    def gan_opt():
+        opt = make_opt(multi=True, gan=True)  # pretrain_steps = 2
+        opt['train']['net_d_init_steps'] = 1
+        return opt
+
+    batches = [make_batch(np.random.RandomState(300 + i), b=2, t=2)
+               for i in range(6)]
+
+    m_seq = build_model(gan_opt())
+    for i, b in enumerate(batches, start=1):
+        m_seq.feed_data(b)
+        m_seq.optimize_parameters(i)
+
+    m_wave = build_model(gan_opt())
+    for i, b in enumerate(batches[:2], start=1):  # pixel pretrain
+        m_wave.feed_data(b)
+        m_wave.optimize_parameters(i)
+    g_before = jax.tree_util.tree_map(np.asarray, m_wave.vars_g)
+    m_wave.optimize_parameters_wave(batches[2:], 3)  # GAN iters 3-6
+
+    # G moved inside the wave (g_turn fired on steps 5-6)
+    moved = any(
+        np.any(np.asarray(a) != b) for a, b in zip(
+            jax.tree_util.tree_leaves(m_wave.vars_g),
+            jax.tree_util.tree_leaves(g_before)))
+    assert moved
+
+    # per-update-scale agreement: Adam moves each param ~lr per step,
+    # so 4 steps ~ 4e-4; semantic bugs diverge by that full scale
+    for attr in ('vars_g', 'vars_d'):
+        seq = jax.tree_util.tree_leaves(getattr(m_seq, attr))
+        wav = jax.tree_util.tree_leaves(getattr(m_wave, attr))
+        for a, b in zip(seq, wav):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=1e-3)
+    for key in ('l_d_real', 'l_d_fake', 'l_g_gan', 'l_grad_penalty'):
+        assert key in m_wave.log_dict, key
+        np.testing.assert_allclose(
+            m_wave.log_dict[key], m_seq.log_dict[key],
+            rtol=5e-3, atol=1e-7)
+
+
+@pytest.mark.slow
 def test_multi_ref_gan_phase_with_perceptual_and_style():
     """Regression: the GAN step's legacy perceptual/style losses need
     their VGG towers initialized (vgg_variables was never set on this
