@@ -64,25 +64,14 @@ class RealESRGANModel(SRGANModel):
                                    save_img)
         self.is_train = True
 
-    def optimize_parameters(self, current_iter):
-        from mrefsr_tpu.parallel import batch_sharding, put_sharded
-        if self._train_step is None:
-            self._train_step = self._build_train_step()
-        sharding = batch_sharding(self.mesh)
-        lq = put_sharded(self.lq, sharding)
-        gt = put_sharded(self.gt, sharding)
-        gt_usm = put_sharded(self.gt_usm, sharding) \
-            if self.gt_usm is not None else gt
-        # per-loss GT routing (reference realesrgan_model.py:196-204)
-        gt_pix = gt_usm if self.opt.get('l1_gt_usm', True) else gt
-        gt_percep = gt_usm if self.opt.get('percep_gt_usm', True) else gt
-        gt_gan = gt_usm if self.opt.get('gan_gt_usm', True) else gt
-        g_turn = (current_iter % self.net_d_iters == 0
-                  and current_iter > self.net_d_init_iters)
-        ema = self.ema_variables if self.ema_decay > 0 else None
-        (self.variables, self.opt_state, self.ema_variables, self.vars_d,
-         self.opt_state_d, losses) = self._train_step(
-            self.variables, self.opt_state, ema, self.vars_d,
-            self.opt_state_d, self.vgg_variables, lq, gt_pix, gt_percep,
-            gt_gan, gt, g_turn, current_iter - 1)
-        self.log_dict = self.reduce_loss_dict(losses)
+    def _train_step_inputs(self):
+        """Per-loss GT routing (reference realesrgan_model.py:196-204):
+        pixel / perceptual / GAN losses can each use the USM-sharpened
+        GT; LDL always uses the raw gt. Shared by per-step dispatch and
+        the fused GAN wave (both in SRGANModel)."""
+        gt_usm = self.gt_usm if self.gt_usm is not None else self.gt
+        gt_pix = gt_usm if self.opt.get('l1_gt_usm', True) else self.gt
+        gt_percep = gt_usm if self.opt.get('percep_gt_usm', True) \
+            else self.gt
+        gt_gan = gt_usm if self.opt.get('gan_gt_usm', True) else self.gt
+        return self.lq, gt_pix, gt_percep, gt_gan, self.gt

@@ -264,23 +264,105 @@ class SRGANModel(SRModel):
                     ema, vars_g)
             return vars_g, opt_g, ema, new_vars_d, opt_d, losses
 
+        # unjitted step for multi-step (wave) dispatch — lax.scan over
+        # steps with g_turn computed from the traced step index
+        self._train_step_raw = step
         return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4))
+
+    def _train_step_inputs(self):
+        """Per-step (lq, gt_pix, gt_percep, gt_gan, gt_ldl) after
+        feed_data — the per-loss GT routing hook. RealESRGAN overrides
+        this to route its USM'd targets (reference
+        realesrgan_model.py:196-204); plain SRGAN feeds gt to every
+        loss."""
+        return self.lq, self.gt, self.gt, self.gt, self.gt
 
     def optimize_parameters(self, current_iter):
         if self._train_step is None:
             self._train_step = self._build_train_step()
         sharding = batch_sharding(self.mesh)
-        lq = put_sharded(self.lq, sharding)
-        gt = put_sharded(self.gt, sharding)
+        lq, gt_pix, gt_percep, gt_gan, gt_ldl = (
+            put_sharded(x, sharding) for x in self._train_step_inputs())
         g_turn = (current_iter % self.net_d_iters == 0
                   and current_iter > self.net_d_init_iters)
         ema = self.ema_variables if self.ema_decay > 0 else None
         (self.variables, self.opt_state, self.ema_variables, self.vars_d,
          self.opt_state_d, losses) = self._train_step(
             self.variables, self.opt_state, ema, self.vars_d,
-            self.opt_state_d, self.vgg_variables, lq, gt, gt, gt, gt,
-            g_turn, current_iter - 1)
+            self.opt_state_d, self.vgg_variables, lq, gt_pix, gt_percep,
+            gt_gan, gt_ldl, g_turn, current_iter - 1)
         self.log_dict = self.reduce_loss_dict(losses)
+
+    def optimize_parameters_wave(self, batches, first_iter):
+        """``len(batches)`` GAN steps fused into ONE jitted ``lax.scan``
+        dispatch (``train: steps_per_dispatch``). The D/G alternation is
+        pure arithmetic on the step index, so ``g_turn`` is evaluated on
+        the traced index inside the scan body — trajectory semantics are
+        identical to per-step dispatch. Subclasses that override
+        ``optimize_parameters`` itself (not just ``_train_step_inputs``)
+        fall back to per-step dispatch."""
+        k = len(batches)
+        overridden = type(self).optimize_parameters \
+            is not SRGANModel.optimize_parameters
+        if k == 1 or overridden:
+            for j, b in enumerate(batches):
+                self.feed_data(b)
+                self.optimize_parameters(first_iter + j)
+            return
+
+        cols = None
+        for b in batches:
+            self.feed_data(b)  # lazy init + per-model synthesis/routing
+            row = self._train_step_inputs()
+            cols = cols or [[] for _ in row]
+            for c, v in zip(cols, row):
+                c.append(v)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, 'data'))
+        # RealESRGAN synthesizes lq/gt ON DEVICE — stack device arrays
+        # with jnp so batches don't round-trip through the host
+        stacked = [put_sharded(
+            (jnp.stack if isinstance(c[0], jax.Array) else np.stack)(c),
+            sh) for c in cols]
+
+        if getattr(self, '_train_step_gan_wave', None) is None:
+            raw = self._train_step_raw
+            d_iters = self.net_d_iters
+            d_init = self.net_d_init_iters
+
+            def wave(vars_g, opt_g, ema, vars_d, opt_d, vgg_vars,
+                     lq, gt_pix, gt_percep, gt_gan, gt_ldl, i0):
+                def body(carry, xs):
+                    vg, og, e, vd, od = carry
+                    lq_, gp_, gpe_, gg_, gl_, idx = xs
+                    cur = idx + 1  # step_idx = current_iter - 1
+                    g_turn = jnp.logical_and(cur % d_iters == 0,
+                                             cur > d_init)
+                    vg, og, e, vd, od, losses = raw(
+                        vg, og, e, vd, od, vgg_vars,
+                        lq_, gp_, gpe_, gg_, gl_, g_turn, idx)
+                    return (vg, og, e, vd, od), losses
+                carry, losses = jax.lax.scan(
+                    body, (vars_g, opt_g, ema, vars_d, opt_d),
+                    (lq, gt_pix, gt_percep, gt_gan, gt_ldl,
+                     i0 + jnp.arange(lq.shape[0])))
+                return carry + (losses,)
+            self._train_step_gan_wave = jax.jit(
+                wave, donate_argnums=(0, 1, 2, 3, 4))
+
+        ema = self.ema_variables if self.ema_decay > 0 else None
+        (self.variables, self.opt_state, self.ema_variables, self.vars_d,
+         self.opt_state_d, losses) = self._train_step_gan_wave(
+            self.variables, self.opt_state, ema, self.vars_d,
+            self.opt_state_d, self.vgg_variables, *stacked,
+            jnp.asarray(first_iter - 1))
+        self.wave_loss_trajectory = jax.tree_util.tree_map(
+            np.asarray, losses)
+        self.log_dict = self.reduce_loss_dict(
+            {name: v[-1] for name, v in losses.items()})
 
     def save(self, epoch, current_iter):
         if self.ema_decay > 0 and self.ema_variables is not None:

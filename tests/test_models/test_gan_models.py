@@ -177,3 +177,75 @@ def test_gan_d_trains_on_pre_update_generator_output():
         dv1, jnp.asarray(post_update_out), train=True)[0].mean())
     assert abs(model.log_dict['out_d_fake'] - fake_pre) < 1e-4
     assert abs(fake_pre - fake_post) > 1e-7  # the two are distinguishable
+
+
+def test_srgan_wave_dispatch_matches_per_step():
+    """The SRGAN-family GAN wave (_train_step_gan_wave: one lax.scan
+    dispatch over K steps, g_turn computed from the traced step index)
+    must reproduce the per-step trajectory. Oracle is the per-step LOSS
+    TRAJECTORY plus an update-scale params envelope — exact-params
+    equality across two different XLA compiles is not fp-stable under
+    Adam (see the multi-ref GAN wave test). net_d_iters=2 with
+    net_d_init_iters=1 makes the wave cover G-updated and G-skipped
+    steps."""
+    import jax
+
+    def wave_opt():
+        opt = make_opt('SRGANModel')
+        opt['train']['net_d_iters'] = 2
+        opt['train']['net_d_init_iters'] = 1
+        return opt
+
+    batches = [{
+        'lq': np.random.RandomState(40 + i).rand(
+            2, 8, 8, 3).astype(np.float32),
+        'gt': np.random.RandomState(140 + i).rand(
+            2, 32, 32, 3).astype(np.float32),
+    } for i in range(4)]
+
+    m_seq = build_model(wave_opt())
+    seq_traj = []
+    for i, b in enumerate(batches, start=1):
+        m_seq.feed_data(b)
+        m_seq.optimize_parameters(i)
+        seq_traj.append(dict(m_seq.log_dict))
+
+    m_wave = build_model(wave_opt())
+    m_wave.optimize_parameters_wave(batches, 1)
+
+    traj = m_wave.wave_loss_trajectory
+    for key in ('l_g_pix', 'l_g_gan', 'l_d_real', 'l_d_fake'):
+        assert key in traj, key
+        np.testing.assert_allclose(
+            np.asarray(traj[key]),
+            np.asarray([t[key] for t in seq_traj]),
+            rtol=5e-3, atol=1e-5, err_msg=key)
+    # G skipped on odd iters (1 % 2 != 0 and 1 <= init): zero l_g_*
+    assert traj['l_g_gan'][0] == 0 and traj['l_g_gan'][2] == 0
+    assert traj['l_g_gan'][1] != 0 and traj['l_g_gan'][3] != 0
+
+    for attr in ('variables', 'vars_d', 'ema_variables'):
+        seq = jax.tree_util.tree_leaves(getattr(m_seq, attr))
+        wav = jax.tree_util.tree_leaves(getattr(m_wave, attr))
+        assert len(seq) == len(wav)
+        for a, b in zip(seq, wav):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=1e-3)
+
+
+def test_esrgan_wave_smoke_and_fallback_rules():
+    """ESRGAN inherits the fused wave (it only flips _relativistic);
+    a subclass overriding optimize_parameters itself must fall back to
+    per-step dispatch."""
+    opt = make_opt('ESRGANModel')
+    model = build_model(opt)
+    batches = [{
+        'lq': np.random.RandomState(60 + i).rand(
+            1, 8, 8, 3).astype(np.float32),
+        'gt': np.random.RandomState(160 + i).rand(
+            1, 32, 32, 3).astype(np.float32),
+    } for i in range(2)]
+    model.optimize_parameters_wave(batches, 1)
+    assert model._train_step_gan_wave is not None
+    for key in ('l_g_gan', 'l_d_real', 'l_d_fake'):
+        assert np.isfinite(model.log_dict[key]), key
