@@ -126,12 +126,14 @@ class MultiRefCUFEDSet:
 
     ``pad_to`` (default 500, the reference protocol) sets the padded
     canvas. A list (e.g. ``pad_to: [300, 400, 500]``) enables bucketed
-    serving: each image pads to the smallest listed canvas it fits,
-    trading a bounded number of compiled eval graphs (one per bucket
-    actually used) for far less wasted compute — most CUFED5 images are
-    well under 500px on a side. Buckets are a serving knob only; the
-    +-0.05 dB parity gate keeps the reference's single 500 canvas
-    (padding extent perturbs patch matching near borders)."""
+    serving: each image pads each dimension to the smallest listed
+    bucket it fits (rectangular canvases — CUFED5 images are mostly
+    ~500x332, so per-dimension buckets drop ~30% of the padded area
+    where square ones win nothing), trading a bounded number of
+    compiled eval graphs (at most len(buckets)^2, one per canvas
+    actually used) for far less wasted compute. Buckets are a serving
+    knob only; the +-0.05 dB parity gate keeps the reference's single
+    500 canvas (padding extent perturbs patch matching near borders)."""
 
     def __init__(self, opt):
         import cv2
@@ -170,12 +172,16 @@ class MultiRefCUFEDSet:
         img_in_gt = img_in.copy()
         img_in_h, img_in_w = img_in.shape[:2]
 
-        # smallest bucket the mod-cropped input fits (refs are padded
-        # or cropped to the same canvas, as the reference does at 500)
-        need = max(img_in_h, img_in_w)
-        canvas = next((b for b in self.pad_buckets if b >= need),
-                      self.pad_buckets[-1])
-        gt_h, gt_w = canvas, canvas
+        # smallest bucket each mod-cropped input DIMENSION fits (refs
+        # are padded or cropped to the same canvas, as the reference
+        # does at 500). Per-dimension selection matters: CUFED5 images
+        # are mostly ~500x332, so a square bucket set degenerates to
+        # the full 500 canvas while rectangular buckets drop ~30% of
+        # the padded area (compile count is bounded by len(buckets)^2).
+        gt_h = next((b for b in self.pad_buckets if b >= img_in_h),
+                    self.pad_buckets[-1])
+        gt_w = next((b for b in self.pad_buckets if b >= img_in_w),
+                    self.pad_buckets[-1])
         img_in = _impad_to(img_in, (gt_h, gt_w))
         refs = [_impad_to(r, (gt_h, gt_w)) for r in refs]
 

@@ -7,6 +7,10 @@ Measures N jitted forwards fused into one lax.scan dispatch with the
 same (tN - t1)/(N - 1) dispatch-overhead cancellation as bench.py.
 
 Usage: python scripts/benchmarks/bench_eval.py  [BENCH_EVAL_SIZE=500]
+
+``BENCH_EVAL_SIZE`` also accepts ``HxW`` (e.g. ``500x332``) to measure
+a rectangular bucket canvas — the serving shape the per-dimension
+``pad_to`` buckets produce for typical ~500x332 CUFED5 images.
 """
 import json
 import os
@@ -25,17 +29,22 @@ def main():
 
     import __graft_entry__ as ge
 
-    size = int(os.environ.get('BENCH_EVAL_SIZE', '500'))
+    size = os.environ.get('BENCH_EVAL_SIZE', '500')
+    h, _, w = size.partition('x')
+    h, w = int(h), int(w or h)
     # mirror the CUFED5 eval: pad to a multiple of 4 at the eval canvas
-    gt = size - size % 4
+    gt_h, gt_w = h - h % 4, w - w % 4
     t = 5
 
     extractor, net_map, net_g = ge._flagship(ngf=64, n_blocks=16,
                                              groups=8)
     rng = np.random.RandomState(0)
-    match_img = jnp.asarray(rng.rand(1, gt, gt, 3).astype(np.float32))
-    refs = jnp.asarray(rng.rand(1, t, gt, gt, 3).astype(np.float32))
-    lq = jnp.asarray(rng.rand(1, gt // 4, gt // 4, 3).astype(np.float32))
+    match_img = jnp.asarray(
+        rng.rand(1, gt_h, gt_w, 3).astype(np.float32))
+    refs = jnp.asarray(
+        rng.rand(1, t, gt_h, gt_w, 3).astype(np.float32))
+    lq = jnp.asarray(
+        rng.rand(1, gt_h // 4, gt_w // 4, 3).astype(np.float32))
     vars_ex, vars_map, vars_g = ge._init_vars(extractor, net_map, net_g,
                                               match_img, refs, lq)
     forward = ge._forward_fn(extractor, net_map, net_g)
@@ -84,7 +93,9 @@ def main():
     tn = measure(run_steps(n))
     elapsed = max(tn - t1, 1e-9) / (n - 1)
     print(json.dumps({
-        'metric': f'cufed5_5ref_x4_eval_imgs_per_sec_{gt}px'
+        'metric': 'cufed5_5ref_x4_eval_imgs_per_sec_'
+                  + (f'{gt_h}px' if gt_h == gt_w else
+                     f'{gt_h}x{gt_w}px')
                   + ('_bf16' if mp == 'bfloat16' else ''),
         'value': round(1.0 / elapsed, 3),
         'unit': 'images/sec/chip',

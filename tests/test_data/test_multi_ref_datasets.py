@@ -106,19 +106,30 @@ def test_multi_ref_cufed_set(cufed_root):
 
 
 def test_multi_ref_cufed_set_bucketed_pad(cufed_root):
-    """pad_to as a list picks the smallest bucket the mod-cropped input
-    fits; over-sized refs crop to the same canvas."""
+    """pad_to as a list picks, per DIMENSION, the smallest bucket the
+    mod-cropped input fits (rectangular canvases); over-sized refs crop
+    to the same canvas."""
     opt = {'name': 'cufed5', 'type': 'MultiRefCUFEDSet', 'phase': 'val',
            'scale': 4, 'dataroot_in': cufed_root,
            'dataroot_ref': cufed_root, 'pad_to': [128, 300, 500]}
     ds = build_dataset(opt)
     item = ds[0]
-    # input 120x84 fits the 128 bucket; refs (140x150) crop to 128
+    # input 120x84 fits the 128 bucket in both dims; refs (140x150)
+    # crop to 128
     assert item['original_size'] == (120, 84)
     assert item['img_in_lq'].shape == (32, 32, 3)        # 128/4
     assert item['img_in_up'].shape == (128, 128, 3)
     assert item['img_ref_list'].shape == (5, 128, 128, 3)
     # un-padded gt is canvas-independent
+    assert item['img_in'].shape == (120, 84, 3)
+
+    # rectangular selection: h=120 -> 128 bucket, w=84 -> 96 bucket
+    ds = build_dataset(dict(opt, pad_to=[96, 128, 300, 500]))
+    item = ds[0]
+    assert item['original_size'] == (120, 84)
+    assert item['img_in_up'].shape == (128, 96, 3)
+    assert item['img_in_lq'].shape == (32, 24, 3)        # canvas/4
+    assert item['img_ref_list'].shape == (5, 128, 96, 3)
     assert item['img_in'].shape == (120, 84, 3)
 
     with pytest.raises(ValueError):
