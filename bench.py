@@ -93,6 +93,45 @@ def _start_watchdog():
     return t
 
 
+def _probe_retry_or_fail(msg):
+    """A wedged backend init can't be retried in-process (the jax
+    runtime is already stuck): exit code 4 so the supervisor parent
+    (which never imports jax — see _supervise) can retry in a FRESH
+    process. NOT os.execv: the wedged tunnel socket has no CLOEXEC and
+    would survive into the re-exec'd image, wedging every retry (and
+    holding the tunnel server hostage — observed). The child stays
+    silent on stdout when BENCH_SILENT_PROBE_FAIL is set so the driver
+    sees exactly one JSON line overall."""
+    _hb(f'FAIL(probe): {msg}')
+    if not os.environ.get('BENCH_SILENT_PROBE_FAIL'):
+        _emit(None, None, {'error': msg})
+    sys.stderr.flush()
+    os._exit(4)
+
+
+def _supervise():
+    """Parent mode: spawn the real bench as a child process and retry
+    probe-timeouts (exit code 4) with a fresh child. The parent never
+    imports jax, so it can't wedge and holds no tunnel state."""
+    import subprocess
+    retries = int(os.environ.get('BENCH_PROBE_RETRIES', '2'))
+    for attempt in range(retries + 1):
+        env = dict(os.environ, BENCH_CHILD='1')
+        if attempt < retries:
+            env['BENCH_SILENT_PROBE_FAIL'] = '1'
+        else:
+            env.pop('BENCH_SILENT_PROBE_FAIL', None)
+        _hb(f'supervisor: bench attempt {attempt + 1}/{retries + 1}')
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                             env=env)
+        if rc != 4:
+            sys.exit(rc)
+        if attempt < retries:
+            _hb('probe failed in child (rc=4); fresh process in 20s')
+            time.sleep(20)
+    sys.exit(4)
+
+
 def _probe_devices(timeout_s):
     """Initialize the backend + run one tiny op, bounded by timeout_s.
 
@@ -118,10 +157,11 @@ def _probe_devices(timeout_s):
     th.start()
     th.join(timeout_s)
     if th.is_alive():
-        _fail(f'device probe did not complete within {timeout_s:.0f}s '
-              '(tunnel hang?)')
+        _probe_retry_or_fail(
+            f'device probe did not complete within {timeout_s:.0f}s '
+            '(tunnel hang?)')
     if 'error' in state:
-        _fail(f'device probe failed: {state["error"]}')
+        _probe_retry_or_fail(f'device probe failed: {state["error"]}')
     if not state.get('ok'):
         _fail('device probe returned wrong matmul result')
     return state['backend'], state['n_devices']
@@ -142,8 +182,11 @@ def main():
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
 
     _hb('probing devices (backend init + tiny matmul)...')
+    # 240s per attempt: the healthy tunnel connects in seconds, and a
+    # shorter timeout leaves room for the re-exec retries (the hang mode
+    # is transient — a fresh process right after usually connects)
     backend, n_devices = _probe_devices(
-        float(os.environ.get('BENCH_PROBE_TIMEOUT', '600')))
+        float(os.environ.get('BENCH_PROBE_TIMEOUT', '240')))
     _hb(f'backend={backend} devices={n_devices} cache={cache_dir}')
 
     import jax.numpy as jnp
@@ -278,4 +321,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if os.environ.get('BENCH_CHILD'):
+        main()
+    else:
+        _supervise()

@@ -222,6 +222,8 @@ class HiFaceGANModel(SRModel):
             losses.update(d_aux)
             return new_vars_g, opt_g, new_vars_d, opt_d, losses
 
+        # unjitted step for multi-step (wave) dispatch
+        self._train_step_raw = step
         return jax.jit(step, donate_argnums=(0, 1, 2, 3))
 
     def optimize_parameters(self, current_iter):
@@ -238,6 +240,67 @@ class HiFaceGANModel(SRModel):
             self.opt_state_d, self.vgg_variables, lq, gt, g_turn,
             current_iter - 1)
         self.log_dict = self.reduce_loss_dict(losses)
+
+    def optimize_parameters_wave(self, batches, first_iter):
+        """``len(batches)`` HiFaceGAN steps fused into one jitted
+        ``lax.scan`` dispatch (``train: steps_per_dispatch``): g_turn is
+        the same step-index arithmetic, evaluated on the traced index
+        inside the scan body. Same oracle and semantics as the SRGAN
+        wave (srgan_model.py)."""
+        k = len(batches)
+        overridden = type(self).optimize_parameters \
+            is not HiFaceGANModel.optimize_parameters
+        if k == 1 or overridden:
+            for j, b in enumerate(batches):
+                self.feed_data(b)
+                self.optimize_parameters(first_iter + j)
+            return
+
+        lqs, gts = [], []
+        for b in batches:
+            self.feed_data(b)
+            lqs.append(self.lq)
+            gts.append(self.gt)
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, 'data'))
+        lq = put_sharded(np.stack(lqs), sh)
+        gt = put_sharded(np.stack(gts), sh)
+
+        if getattr(self, '_train_step_gan_wave', None) is None:
+            raw = self._train_step_raw
+            d_iters = self.net_d_iters
+            d_init = self.net_d_init_iters
+
+            def wave(vars_g, opt_g, vars_d, opt_d, vgg_vars, lq, gt,
+                     i0):
+                def body(carry, xs):
+                    vg, og, vd, od = carry
+                    lq_, gt_, idx = xs
+                    cur = idx + 1  # step_idx = current_iter - 1
+                    g_turn = jnp.logical_and(cur % d_iters == 0,
+                                             cur > d_init)
+                    vg, og, vd, od, losses = raw(
+                        vg, og, vd, od, vgg_vars, lq_, gt_, g_turn, idx)
+                    return (vg, og, vd, od), losses
+                carry, losses = jax.lax.scan(
+                    body, (vars_g, opt_g, vars_d, opt_d),
+                    (lq, gt, i0 + jnp.arange(lq.shape[0])))
+                return carry + (losses,)
+            self._train_step_gan_wave = jax.jit(
+                wave, donate_argnums=(0, 1, 2, 3))
+
+        (self.variables, self.opt_state, self.vars_d, self.opt_state_d,
+         losses) = self._train_step_gan_wave(
+            self.variables, self.opt_state, self.vars_d,
+            self.opt_state_d, self.vgg_variables, lq, gt,
+            jnp.asarray(first_iter - 1))
+        self.wave_loss_trajectory = jax.tree_util.tree_map(
+            np.asarray, losses)
+        self.log_dict = self.reduce_loss_dict(
+            {name: v[-1] for name, v in losses.items()})
 
     def save(self, epoch, current_iter):
         self.save_network(self.variables, 'net_g', current_iter)

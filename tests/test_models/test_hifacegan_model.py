@@ -24,8 +24,8 @@ def face_root(tmp_path_factory):
     return root
 
 
-def test_hifacegan_model_trains(face_root, tmp_path):
-    opt = {
+def make_opt(tmp_path):
+    return {
         'name': 'test_hifacegan', 'model_type': 'HiFaceGANModel',
         'scale': 1, 'num_gpu': 1, 'manual_seed': 0, 'is_train': True,
         'dist': False, 'rank': 0, 'world_size': 1,
@@ -55,8 +55,9 @@ def test_hifacegan_model_trains(face_root, tmp_path):
         },
         'datasets': {},
     }
-    model = build_model(opt)
 
+
+def make_batch(face_root):
     ds_opt = {'name': 'faces', 'type': 'PairedImageDataset',
               'phase': 'train', 'scale': 1,
               'dataroot_gt': str(face_root / 'gt'),
@@ -67,7 +68,13 @@ def test_hifacegan_model_trains(face_root, tmp_path):
               'dataset_enlarge_ratio': 1}
     ds = build_dataset(ds_opt)
     loader = build_dataloader(ds, ds_opt, num_gpu=1, dist=False, seed=0)
-    batch = next(iter(loader))
+    return next(iter(loader))
+
+
+def test_hifacegan_model_trains(face_root, tmp_path):
+    opt = make_opt(tmp_path)
+    model = build_model(opt)
+    batch = make_batch(face_root)
 
     spectral_before = None
     for it in range(1, 3):
@@ -91,3 +98,54 @@ def test_hifacegan_model_trains(face_root, tmp_path):
         spectral_after)
     assert any(jax.tree_util.tree_leaves(moved)), \
         'spectral u/v must update during training'
+
+
+def test_hifacegan_wave_dispatch_matches_per_step(face_root, tmp_path):
+    """The HiFaceGAN wave (one lax.scan dispatch over K steps, g_turn
+    from the traced step index) must reproduce the per-step loss
+    trajectory; params held to the update-scale envelope (exact-params
+    equality across two XLA compiles is not fp-stable under Adam —
+    same oracle as the SRGAN/multi-ref GAN waves)."""
+    import jax
+
+    def wave_opt():
+        opt = make_opt(tmp_path)
+        opt['train']['net_d_iters'] = 2
+        opt['train']['net_d_init_iters'] = 1
+        return opt
+
+    batch = make_batch(face_root)
+    rng = np.random.RandomState(5)
+    batches = [{'lq': batch['lq'] + rng.rand(*np.asarray(
+                    batch['lq']).shape).astype(np.float32) * 0.01,
+                'gt': batch['gt']} for _ in range(4)]
+
+    m_seq = build_model(wave_opt())
+    seq_traj = []
+    for i, b in enumerate(batches, start=1):
+        m_seq.feed_data(b)
+        m_seq.optimize_parameters(i)
+        seq_traj.append(dict(m_seq.log_dict))
+
+    m_wave = build_model(wave_opt())
+    m_wave.optimize_parameters_wave(batches, 1)
+
+    traj = m_wave.wave_loss_trajectory
+    for key in ('l_g_pix', 'l_g_gan', 'l_g_feat', 'l_d_real',
+                'l_d_fake'):
+        assert key in traj, key
+        np.testing.assert_allclose(
+            np.asarray(traj[key]),
+            np.asarray([t[key] for t in seq_traj]),
+            rtol=5e-3, atol=1e-5, err_msg=key)
+    # G skipped on odd iters (cur % 2 != 0 or cur <= 1)
+    assert traj['l_g_gan'][0] == 0 and traj['l_g_gan'][2] == 0
+    assert traj['l_g_gan'][1] != 0 and traj['l_g_gan'][3] != 0
+
+    for attr in ('variables', 'vars_d'):
+        seq = jax.tree_util.tree_leaves(getattr(m_seq, attr))
+        wav = jax.tree_util.tree_leaves(getattr(m_wave, attr))
+        assert len(seq) == len(wav)
+        for a, b in zip(seq, wav):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=1e-3)
