@@ -84,6 +84,7 @@ def test_fid_matches_reference_math():
                                rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_inception_feature_shapes():
     import jax
     from mrefsr_tpu.metrics import load_patched_inception_v3

@@ -73,6 +73,7 @@ def test_swinir_model_padded_test():
     assert np.asarray(model.output).shape == (1, 40, 56, 3)
 
 
+@pytest.mark.slow
 def test_gan_model_perceptual_zero_style_weight():
     """Regression: with perceptual_opt at style_weight=0 (the standard
     ESRGAN setup) the skip_g branch must emit the same aux pytree as
@@ -179,6 +180,7 @@ def test_gan_d_trains_on_pre_update_generator_output():
     assert abs(fake_pre - fake_post) > 1e-7  # the two are distinguishable
 
 
+@pytest.mark.slow
 def test_srgan_wave_dispatch_matches_per_step():
     """The SRGAN-family GAN wave (_train_step_gan_wave: one lax.scan
     dispatch over K steps, g_turn computed from the traced step index)

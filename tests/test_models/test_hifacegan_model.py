@@ -71,6 +71,7 @@ def make_batch(face_root):
     return next(iter(loader))
 
 
+@pytest.mark.slow
 def test_hifacegan_model_trains(face_root, tmp_path):
     opt = make_opt(tmp_path)
     model = build_model(opt)
@@ -100,6 +101,7 @@ def test_hifacegan_model_trains(face_root, tmp_path):
         'spectral u/v must update during training'
 
 
+@pytest.mark.slow
 def test_hifacegan_wave_dispatch_matches_per_step(face_root, tmp_path):
     """The HiFaceGAN wave (one lax.scan dispatch over K steps, g_turn
     from the traced step index) must reproduce the per-step loss

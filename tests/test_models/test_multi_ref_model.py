@@ -103,6 +103,7 @@ def test_multi_ref_model_pixel_training():
     assert len(model.base_lrs) == 4
 
 
+@pytest.mark.slow
 def test_single_ref_model_pixel_training():
     opt = make_opt(multi=False)
     model = build_model(opt)
@@ -196,6 +197,7 @@ def test_dcn_remat_variants_same_trajectory(monkeypatch):
             base, got)
 
 
+@pytest.mark.slow
 def test_wave_dispatch_matches_per_step():
     """steps_per_dispatch: K (one jitted scan over K optimizer steps)
     must produce the same trajectory as K per-step dispatches."""

@@ -185,6 +185,7 @@ def test_degradation_synth_usm_source_flag(gt_folder, tmp_path):
     assert not np.allclose(np.asarray(lq_usm), np.asarray(lq_raw))
 
 
+@pytest.mark.slow
 def test_realesrgan_model_trains(gt_folder, tmp_path):
     opt = _base_opt(tmp_path, gt_folder, 'RealESRGANModel')
     opt['network_d'] = {'type': 'VGGStyleDiscriminator', 'num_in_ch': 3,

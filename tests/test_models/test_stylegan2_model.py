@@ -34,6 +34,7 @@ def test_ffhq_dataset(ffhq_root):
     assert sample['gt'].min() >= -1 and sample['gt'].max() <= 1
 
 
+@pytest.mark.slow
 def test_stylegan2_model_trains(ffhq_root, tmp_path):
     opt = {
         'name': 'test_sg2', 'model_type': 'StyleGAN2Model',

@@ -97,6 +97,7 @@ def _run(script, assets, extra, capsys):
     return exc.value.code or 0, json.loads(out)
 
 
+@pytest.mark.slow
 def test_eval_parity_end_to_end_and_gates(assets, capsys):
     script = _load_script()
     rc, report = _run(script, assets, [], capsys)
