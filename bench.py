@@ -112,8 +112,25 @@ def _probe_retry_or_fail(msg):
 def _supervise():
     """Parent mode: spawn the real bench as a child process and retry
     probe-timeouts (exit code 4) with a fresh child. The parent never
-    imports jax, so it can't wedge and holds no tunnel state."""
+    imports jax, so it can't wedge and holds no tunnel state. SIGTERM/
+    SIGINT forward to the live child so a driver-side `timeout` kill
+    can't orphan a grandchild that keeps the tunnel wedged."""
+    import signal
     import subprocess
+    child = [None]
+
+    def _forward(signum, _frame):
+        if child[0] is not None and child[0].poll() is None:
+            child[0].send_signal(signum)
+            try:
+                child[0].wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                child[0].kill()
+        os._exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _forward)
+    signal.signal(signal.SIGINT, _forward)
+
     retries = int(os.environ.get('BENCH_PROBE_RETRIES', '2'))
     for attempt in range(retries + 1):
         env = dict(os.environ, BENCH_CHILD='1')
@@ -122,8 +139,9 @@ def _supervise():
         else:
             env.pop('BENCH_SILENT_PROBE_FAIL', None)
         _hb(f'supervisor: bench attempt {attempt + 1}/{retries + 1}')
-        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
-                             env=env)
+        child[0] = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env)
+        rc = child[0].wait()
         if rc != 4:
             sys.exit(rc)
         if attempt < retries:

@@ -215,3 +215,37 @@ def test_realesrgan_model_trains(gt_folder, tmp_path):
     for k in ('l_g_pix', 'l_g_ldl', 'l_g_gan', 'l_d_real', 'l_d_fake'):
         assert k in model.log_dict, model.log_dict.keys()
         assert np.isfinite(model.log_dict[k])
+
+
+@pytest.mark.slow
+def test_realesrgan_wave_fuses_device_batches(gt_folder, tmp_path):
+    """RealESRGAN inherits the SRGAN fused GAN wave through the
+    _train_step_inputs hook: feed_data synthesizes lq/gt ON DEVICE, so
+    the wave must stack jax.Arrays with jnp (no host round-trip) and
+    route the USM'd GTs per loss. Smoke: one 2-step wave dispatch,
+    finite losses, the fused executable built."""
+    opt = _base_opt(tmp_path, gt_folder, 'RealESRGANModel')
+    opt['network_d'] = {'type': 'VGGStyleDiscriminator', 'num_in_ch': 3,
+                        'num_feat': 32, 'input_size': GT_SIZE}
+    opt['train'] = {
+        'ema_decay': 0.999,
+        'optim_g': {'type': 'Adam', 'lr': 1e-4, 'betas': [0.9, 0.99]},
+        'optim_d': {'type': 'Adam', 'lr': 1e-4, 'betas': [0.9, 0.99]},
+        'scheduler': {'type': 'MultiStepLR', 'milestones': [100],
+                      'gamma': 0.5},
+        'pixel_opt': {'type': 'L1Loss', 'loss_weight': 1.0,
+                      'reduction': 'mean'},
+        'gan_opt': {'type': 'GANLoss', 'gan_type': 'vanilla',
+                    'real_label_val': 1.0, 'fake_label_val': 0.0,
+                    'loss_weight': 0.1},
+        'net_d_iters': 1, 'net_d_init_iters': 0,
+        'total_iter': 10, 'warmup_iter': -1,
+    }
+    model = build_model(opt)
+    batch = _batch(gt_folder)
+    model.optimize_parameters_wave([batch, batch], 1)
+    assert model._train_step_gan_wave is not None
+    assert model.wave_loss_trajectory['l_g_pix'].shape == (2,)
+    for k in ('l_g_pix', 'l_g_gan', 'l_d_real', 'l_d_fake'):
+        assert k in model.log_dict, model.log_dict.keys()
+        assert np.isfinite(model.log_dict[k])

@@ -132,6 +132,7 @@ def _recurrent_batch(video_root, n=1, t=NF):
     return next(iter(loader))
 
 
+@pytest.mark.slow
 def test_video_recurrent_model_trains_with_flow_freeze(video_root,
                                                        tmp_path):
     opt = {
@@ -192,6 +193,7 @@ def test_video_recurrent_model_trains_with_flow_freeze(video_root,
     assert np.isfinite(model.log_dict['l_pix'])
 
 
+@pytest.mark.slow
 def test_video_recurrent_model_validation(video_root, tmp_path):
     opt = {
         'name': 'test_vrm_val', 'model_type': 'VideoRecurrentModel',
@@ -226,6 +228,7 @@ def test_video_recurrent_model_validation(video_root, tmp_path):
     assert (model.metric_results['000'] > 0).all()
 
 
+@pytest.mark.slow
 def test_edvr_model_tsa_phase(video_root, tmp_path):
     opt = {
         'name': 'test_edvr', 'model_type': 'EDVRModel',
@@ -309,3 +312,82 @@ def test_edvr_model_tsa_phase(video_root, tmp_path):
         and not np.allclose(b, np.asarray(flat_a2[path]))]
     assert moved_nonfusion2, \
         'non-fusion params must train at iter == tsa_iter'
+
+
+@pytest.mark.slow
+def test_video_recurrent_gan_wave_matches_per_step(video_root, tmp_path):
+    """VideoRecurrentGANModel inherits the SRGAN fused GAN wave (it
+    does not override optimize_parameters), so K steps fuse into one
+    lax.scan dispatch over (b,t,...) sequences — with the flow-freeze
+    boundary (fix_flow) crossing INSIDE the wave, since freeze masks
+    are computed from the traced step index. Oracle: per-step loss
+    trajectory + update-scale params envelope (see the SRGAN wave
+    test)."""
+    def gan_opt():
+        return {
+            'name': 'test_vrgan', 'model_type': 'VideoRecurrentGANModel',
+            'scale': SCALE, 'num_gpu': 1, 'manual_seed': 0,
+            'is_train': True, 'dist': False, 'rank': 0, 'world_size': 1,
+            'network_g': {'type': 'BasicVSR', 'num_feat': 8,
+                          'num_block': 1, 'spynet_path': None},
+            'network_d': {'type': 'UNetDiscriminatorSN', 'num_in_ch': 3,
+                          'num_feat': 4},
+            'path': {'pretrain_network_g': None, 'strict_load_g': True,
+                     'models': str(tmp_path),
+                     'training_states': str(tmp_path),
+                     'visualization': str(tmp_path)},
+            'train': {
+                'ema_decay': 0,
+                'optim_g': {'type': 'Adam', 'lr': 1e-4,
+                            'betas': [0.9, 0.99]},
+                'optim_d': {'type': 'Adam', 'lr': 1e-4,
+                            'betas': [0.9, 0.99]},
+                'scheduler': {'type': 'MultiStepLR', 'milestones': [100],
+                              'gamma': 0.5},
+                'pixel_opt': {'type': 'CharbonnierLoss',
+                              'loss_weight': 1.0, 'reduction': 'mean'},
+                'gan_opt': {'type': 'GANLoss', 'gan_type': 'vanilla',
+                            'real_label_val': 1.0, 'fake_label_val': 0.0,
+                            'loss_weight': 0.1},
+                'net_d_iters': 1, 'net_d_init_iters': 0,
+                'total_iter': 10, 'warmup_iter': -1,
+                'fix_flow': 2, 'flow_lr_mul': 0.125,
+            },
+            'datasets': {},
+        }
+
+    base = _recurrent_batch(video_root, t=3)
+    rng = np.random.RandomState(9)
+    batches = [{'lq': np.asarray(base['lq'])
+                + rng.rand(*np.asarray(base['lq']).shape).astype(
+                    np.float32) * 0.01,
+                'gt': base['gt']} for _ in range(3)]
+
+    m_seq = build_model(gan_opt())
+    seq_traj = []
+    for i, b in enumerate(batches, start=1):
+        m_seq.feed_data(b)
+        m_seq.optimize_parameters(i)
+        seq_traj.append(dict(m_seq.log_dict))
+
+    m_wave = build_model(gan_opt())
+    m_wave.optimize_parameters_wave(batches, 1)
+
+    traj = m_wave.wave_loss_trajectory
+    for key in ('l_g_pix', 'l_g_gan', 'l_d_real', 'l_d_fake'):
+        assert key in traj, key
+        np.testing.assert_allclose(
+            np.asarray(traj[key]),
+            np.asarray([t[key] for t in seq_traj]),
+            rtol=5e-3, atol=1e-5, err_msg=key)
+
+    # flow freeze crossed inside the wave: spynet frozen on steps 1-2
+    # (idx 0,1 < fix_flow=2), training on step 3 — mirror the per-step
+    # trajectory's params to within the update envelope
+    for attr in ('variables', 'vars_d'):
+        seq = jax.tree_util.tree_leaves(getattr(m_seq, attr))
+        wav = jax.tree_util.tree_leaves(getattr(m_wave, attr))
+        assert len(seq) == len(wav)
+        for a, b in zip(seq, wav):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=1e-3)
