@@ -179,7 +179,10 @@ def _probe_devices(timeout_s):
             f'device probe did not complete within {timeout_s:.0f}s '
             '(tunnel hang?)')
     if 'error' in state:
-        _probe_retry_or_fail(f'device probe failed: {state["error"]}')
+        # deterministic failure (e.g. libtpu version mismatch raises
+        # immediately) — retrying fresh processes only delays the one
+        # JSON error line the driver is waiting for
+        _fail(f'device probe failed: {state["error"]}')
     if not state.get('ok'):
         _fail('device probe returned wrong matmul result')
     return state['backend'], state['n_devices']

@@ -281,8 +281,18 @@ class SRGANModel(SRModel):
         if self._train_step is None:
             self._train_step = self._build_train_step()
         sharding = batch_sharding(self.mesh)
+        # the GT slots usually alias one array (plain SRGAN: all four) —
+        # dedupe by identity so the batch crosses H2D once, not 4x
+        cache = {}
+
+        def put(x):
+            key = id(x)
+            if key not in cache:
+                cache[key] = put_sharded(x, sharding)
+            return cache[key]
+
         lq, gt_pix, gt_percep, gt_gan, gt_ldl = (
-            put_sharded(x, sharding) for x in self._train_step_inputs())
+            put(x) for x in self._train_step_inputs())
         g_turn = (current_iter % self.net_d_iters == 0
                   and current_iter > self.net_d_init_iters)
         ema = self.ema_variables if self.ema_decay > 0 else None
@@ -323,10 +333,21 @@ class SRGANModel(SRModel):
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(self.mesh, P(None, 'data'))
         # RealESRGAN synthesizes lq/gt ON DEVICE — stack device arrays
-        # with jnp so batches don't round-trip through the host
-        stacked = [put_sharded(
-            (jnp.stack if isinstance(c[0], jax.Array) else np.stack)(c),
-            sh) for c in cols]
+        # with jnp so batches don't round-trip through the host. GT
+        # columns usually alias one array per step (plain SRGAN: all
+        # four) — dedupe identical columns so the wave stacks and
+        # transfers each distinct batch once, not 4x
+        cache = {}
+
+        def stack_put(c):
+            key = tuple(id(v) for v in c)
+            if key not in cache:
+                cache[key] = put_sharded(
+                    (jnp.stack if isinstance(c[0], jax.Array)
+                     else np.stack)(c), sh)
+            return cache[key]
+
+        stacked = [stack_put(c) for c in cols]
 
         if getattr(self, '_train_step_gan_wave', None) is None:
             raw = self._train_step_raw

@@ -251,3 +251,20 @@ def test_esrgan_wave_smoke_and_fallback_rules():
     assert model._train_step_gan_wave is not None
     for key in ('l_g_gan', 'l_d_real', 'l_d_fake'):
         assert np.isfinite(model.log_dict[key]), key
+
+    # fallback rule: a subclass that overrides optimize_parameters
+    # itself (not just _train_step_inputs) must get K per-step
+    # dispatches, never the fused executable
+    from mrefsr_tpu.models.srgan_model import SRGANModel
+
+    class _Overriding(SRGANModel):
+        calls = 0
+
+        def optimize_parameters(self, current_iter):
+            type(self).calls += 1
+            super().optimize_parameters(current_iter)
+
+    model2 = _Overriding(make_opt('SRGANModel'))
+    model2.optimize_parameters_wave(batches, 1)
+    assert _Overriding.calls == len(batches)
+    assert getattr(model2, '_train_step_gan_wave', None) is None
