@@ -237,7 +237,13 @@ def main():
                       'dcn_outer_remat': bool(int(os.environ.get(
                           'BENCH_DCN_OUTER_REMAT', '0'))),
                       'fusion_remat': bool(int(os.environ.get(
-                          'BENCH_FUSION_REMAT', '0')))},
+                          'BENCH_FUSION_REMAT', '0'))),
+                      # 'flow' measures the opt-in flow-warp fast
+                      # alignment (FlowAgg) instead of the reference-
+                      # compatible DCN alignment; the driver metric
+                      # stays 'dcn'
+                      'alignment': os.environ.get('BENCH_ALIGNMENT',
+                                                  'dcn')},
         'network_map': {'type': 'CorrespondenceGenerationArch',
                         'patch_size': 3, 'stride': 1,
                         'vgg_layer_list': ['relu1_1', 'relu2_1',

@@ -24,8 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mrefsr_tpu.ops import interpolate, modulated_deform_conv2d, \
-    offset_mask_from_conv_out, pixel_shuffle
+from mrefsr_tpu.ops import deform_sample, interpolate, \
+    modulated_deform_conv2d, offset_mask_from_conv_out, pixel_shuffle
 from mrefsr_tpu.utils.registry import ARCH_REGISTRY
 
 from .arch_util import PReLU, ResidualBlockNoBN, run_blocks, \
@@ -96,6 +96,51 @@ class DynAgg(nn.Module):
             x, offset, mask, weight, bias, stride=self.stride,
             padding=self.padding, dilation=self.dilation,
             groups=self.groups, deform_groups=dg)
+
+
+class FlowAgg(nn.Module):
+    """Flow-warp aggregation: the TPU-fast alternative to DynAgg.
+
+    Same call contract as DynAgg (x, feat, pre_offset), but instead of a
+    9-tap deformable conv it predicts ONE per-pixel per-deform-group
+    flow residual + gate, warps the ref feature with a single grouped
+    bilinear sample (ops.deform_sample — 9x fewer rows through the
+    gather unit, the measured step bottleneck), then applies a dense
+    3x3 conv on the MXU. The flow is seeded with the center-tap
+    precomputed match offset and the head is zero-initialized, so
+    sampling starts exactly at the correspondence like DynAgg's
+    re_init_dcn_offset.
+
+    NOT checkpoint-compatible with the reference's DCN alignment —
+    opt-in via ``network_g: alignment: flow`` and requires training
+    from scratch (or fine-tuning) under the new parameterization.
+    """
+    in_channels: int
+    out_channels: int
+    deform_groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, feat, pre_offset):
+        dg = self.deform_groups
+        n, h, w, c = x.shape
+        cg = c // dg
+        head = nn.Conv(dg * 3, (3, 3), padding=1,
+                       kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros,
+                       name='conv_flow_gate')(feat)
+        flow_res = head[..., :dg * 2].reshape(n, h, w, dg, 2)  # (dy,dx)
+        gate = jax.nn.sigmoid(head[..., dg * 2:])              # (n,h,w,dg)
+        # seed with the center tap (k=4 of the 9 row-major 3x3 taps) of
+        # the precomputed match offsets, (x, y) -> (dy, dx)
+        pre = jnp.stack([pre_offset[..., 4, 1], pre_offset[..., 4, 0]],
+                        axis=-1)                               # (n,h,w,2)
+        flow = flow_res + pre[:, :, :, None, :]
+        warped = deform_sample(x, flow)                        # (n,h,w,c)
+        warped = (warped.reshape(n, h, w, dg, cg)
+                  * gate[..., None]).reshape(n, h, w, c)
+        return nn.Conv(self.out_channels, (3, 3), padding=1,
+                       kernel_init=srntt_normal_init(0.02),
+                       name='conv_after_warp')(warped)
 
 
 class ContentExtractor(nn.Module):
@@ -189,7 +234,7 @@ class MRAPAFusion(nn.Module):
 
 
 def _align_one_ref(mdl, carry, per_ref, ref_nf, groups, prefix,
-                   dcn_outer_remat=False):
+                   dcn_outer_remat=False, alignment='dcn'):
     """Align ONE reference against the target features (the scanned body
     of a decoder scale). Params attach to ``mdl``'s scope with the same
     flat names as the reference's modules and are broadcast across the
@@ -216,6 +261,12 @@ def _align_one_ref(mdl, carry, per_ref, ref_nf, groups, prefix,
     # (stage3 bench, v5e): default 9.97 img/s/chip at b=8 / 9.05 at
     # b=4 vs 9.44 / 8.76 with the outer remat. Set it true only when
     # HBM is the binding constraint (e.g. large-patch gt=300 training).
+    if alignment == 'flow':
+        agg_cls = nn.remat(FlowAgg) if dcn_outer_remat else FlowAgg
+        swapped = _lrelu(agg_cls(ref_nf, ref_nf, deform_groups=groups,
+                                 name=f'{p}_flow_agg')(
+            ref_feat_1, off, pre_offset_1))
+        return carry, swapped
     dyn_agg_cls = nn.remat(DynAgg) if dcn_outer_remat else DynAgg
     swapped = _lrelu(dyn_agg_cls(ref_nf, ref_nf, 3,
                                  deform_groups=groups,
@@ -226,7 +277,7 @@ def _align_one_ref(mdl, carry, per_ref, ref_nf, groups, prefix,
 
 def _scale_stage(mdl, x, pre_offset, ref_feat, nf, ref_nf, n_blocks,
                  groups, prefix, ref_unroll=1, dcn_outer_remat=False,
-                 fusion_remat=False):
+                 fusion_remat=False, alignment='dcn'):
     """One decoder scale: per-ref alignment scanned over the T refs +
     fusion + residual body (shared structure of reference :213-257).
     Called with the owning module so scanned params attach flat,
@@ -236,7 +287,7 @@ def _scale_stage(mdl, x, pre_offset, ref_feat, nf, ref_nf, n_blocks,
 
     align = nn.scan(
         partial(_align_one_ref, ref_nf=ref_nf, groups=groups, prefix=p,
-                dcn_outer_remat=dcn_outer_remat),
+                dcn_outer_remat=dcn_outer_remat, alignment=alignment),
         variable_broadcast='params',
         variable_axes={'intermediates': 1},
         split_rngs={'params': False},
@@ -280,6 +331,7 @@ class DynamicAggregationRestoration(nn.Module):
     ref_unroll: int = 1
     dcn_outer_remat: bool = False
     fusion_remat: bool = False
+    alignment: str = 'dcn'
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
@@ -287,17 +339,17 @@ class DynamicAggregationRestoration(nn.Module):
                          img_ref_feat['relu3_1'], self.ngf, 256,
                          self.n_blocks, self.groups, 'small',
                          self.ref_unroll, self.dcn_outer_remat,
-                         self.fusion_remat)
+                         self.fusion_remat, self.alignment)
         x = _scale_stage(self, x, pre_offset['relu2_1'],
                          img_ref_feat['relu2_1'], self.ngf, 128,
                          self.n_blocks, self.groups, 'medium',
                          self.ref_unroll, self.dcn_outer_remat,
-                         self.fusion_remat)
+                         self.fusion_remat, self.alignment)
         x = _scale_stage(self, x, pre_offset['relu1_1'],
                          img_ref_feat['relu1_1'], self.ngf, 64,
                          self.n_blocks, self.groups, 'large',
                          self.ref_unroll, self.dcn_outer_remat,
-                         self.fusion_remat)
+                         self.fusion_remat, self.alignment)
         return x
 
 
@@ -315,6 +367,7 @@ class MRAPARestorationNet(nn.Module):
     ref_unroll: int = 1
     dcn_outer_remat: bool = False
     fusion_remat: bool = False
+    alignment: str = 'dcn'  # 'dcn' (reference-compatible) | 'flow' (fast)
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
@@ -324,6 +377,6 @@ class MRAPARestorationNet(nn.Module):
                                         name='content_extractor')(x)
         upscale = DynamicAggregationRestoration(
             self.ngf, self.n_blocks, self.groups, self.ref_unroll,
-            self.dcn_outer_remat, self.fusion_remat,
+            self.dcn_outer_remat, self.fusion_remat, self.alignment,
             name='dyn_agg_restore')(content_feat, pre_offset, img_ref_feat)
         return upscale + base

@@ -1,6 +1,7 @@
 from .correlation import (feature_match_index, index_to_flow,
                           sample_patches, tensor_shift)
-from .dcn import modulated_deform_conv2d, offset_mask_from_conv_out
+from .dcn import deform_sample, modulated_deform_conv2d, \
+    offset_mask_from_conv_out
 from .fused_act import fused_leaky_relu
 from .resize import interpolate, pixel_shuffle, pixel_unshuffle
 from .upfirdn2d import upfirdn2d

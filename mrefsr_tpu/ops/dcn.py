@@ -287,6 +287,51 @@ def _deform_gather_tap_packed(x4, dims, dtype, fy, fx):
     return out.reshape(fy.shape + (cg,))
 
 
+def deform_sample(x, flow):
+    """Per-pixel grouped bilinear sampling (the flow-warp fast-alignment
+    primitive): group g of the output at (y, x) is group g of ``x``
+    bilinearly sampled at (y, x) + flow[n, y, x, g].
+
+    This is the K=1 special case of the deformable gather: ONE
+    corner-packed row per (pixel, group) instead of the DCN's 9 kernel
+    taps — 9x fewer rows through the platform's gather unit, the
+    measured step bottleneck (docs/TPUDesign.md "Known TPU bottleneck").
+    Same (item, group) VMEM-slab scan as _mdcn_slab_scan; zero outside
+    the boundary (mmcv corner semantics).
+
+    Args:
+        x: (N, H, W, C).
+        flow: (N, H, W, dg, 2), last dim (dy, dx); C % dg == 0.
+
+    Returns:
+        (N, H, W, C), group g's channels warped by flow group g.
+    """
+    n, h, w, c = x.shape
+    dg = flow.shape[3]
+    assert flow.shape == (n, h, w, dg, 2), (
+        f'flow shape {flow.shape} != {(n, h, w, dg, 2)}')
+    assert c % dg == 0
+    cg = c // dg
+    x4 = _pack_bilinear_corners(x, dg)      # (N, dg, (H+1)(W+1), 4*cg)
+    flow_t = jnp.moveaxis(flow, 3, 1)       # (N, dg, H, W, 2)
+    oy = jnp.arange(h, dtype=flow.dtype)
+    ox = jnp.arange(w, dtype=flow.dtype)
+
+    def grp(_, ginp):
+        x4_g, f_g = ginp                    # ((H+1)(W+1), 4cg), (H, W, 2)
+        fy = oy[:, None] + f_g[..., 0]
+        fx = ox[None, :] + f_g[..., 1]
+        return None, _slab_bilinear(x4_g, (h, w, cg), x.dtype, fy, fx)
+
+    def item(_, inp):
+        x4_i, f_i = inp
+        _, out_i = jax.lax.scan(grp, None, (x4_i, f_i))  # (dg, H, W, cg)
+        return None, out_i
+
+    _, out = jax.lax.scan(item, None, (x4, flow_t))      # (N, dg, H, W, cg)
+    return jnp.moveaxis(out, 1, 3).reshape(n, h, w, c)
+
+
 def offset_mask_from_conv_out(out, deform_groups, kernel_size=(3, 3)):
     """Split a conv_offset_mask output into (offset, mask) in this module's
     layout.
