@@ -123,6 +123,8 @@ class FlowAgg(nn.Module):
     def __call__(self, x, feat, pre_offset):
         dg = self.deform_groups
         n, h, w, c = x.shape
+        assert c == self.in_channels, (
+            f'FlowAgg expected in_channels={self.in_channels}, got {c}')
         cg = c // dg
         head = nn.Conv(dg * 3, (3, 3), padding=1,
                        kernel_init=nn.initializers.zeros,

@@ -80,13 +80,17 @@ def modulated_deform_conv2d(x, offset, mask, weight, bias=None, stride=1,
     assert mask.shape == (n, ho, wo, dg, k)
     assert c % dg == 0 and c % groups == 0 and cin_g == c // groups
 
-    # base sampling grid per tap: (K,) tap coordinates + (Ho,Wo) grid
-    oy = jnp.arange(ho) * sh - ph  # (Ho,)
-    ox = jnp.arange(wo) * sw - pw  # (Wo,)
+    # base sampling grid per tap: (K,) tap coordinates + (Ho,Wo) grid.
+    # Coordinate math stays float32 even when offsets are bf16: above
+    # coordinate 256 a bf16 position quantizes to ulp 2, which would
+    # corrupt sampling on ~500px relu1_1 canvases. Only the gathered
+    # values (and the fractional corner weights) use the table dtype.
+    oy = jnp.arange(ho) * sh - ph  # (Ho,) int32
+    ox = jnp.arange(wo) * sw - pw  # (Wo,) int32
     ky, kx = jnp.meshgrid(jnp.arange(kh) * dh, jnp.arange(kw) * dw,
                           indexing='ij')
-    ky = ky.reshape(-1).astype(offset.dtype)  # (K,)
-    kx = kx.reshape(-1).astype(offset.dtype)
+    ky = ky.reshape(-1).astype(jnp.float32)  # (K,)
+    kx = kx.reshape(-1).astype(jnp.float32)
 
     cg = c // dg
     if groups == 1:
@@ -131,8 +135,8 @@ def _mdcn_slab_scan(x, offset, mask, weight, dims, oy, ox, ky, kx):
     def tap(x4_g):
         def body(acc, tin):
             off_k, m_k, w_k, ky_k, kx_k = tin
-            fy = oy[:, None] + ky_k + off_k[..., 0]   # (Ho, Wo)
-            fx = ox[None, :] + kx_k + off_k[..., 1]
+            fy = oy[:, None] + ky_k + off_k[..., 0].astype(jnp.float32)
+            fx = ox[None, :] + kx_k + off_k[..., 1].astype(jnp.float32)
             sampled = _slab_bilinear(x4_g, (h, w, cg), dtype, fy, fx)
             sampled = sampled * m_k[..., None]        # (Ho, Wo, cg)
             return acc + jnp.einsum(
@@ -221,8 +225,10 @@ def _mdcn_tap_scan(x, offset, mask, weight, dims, oy, ox, ky, kx):
 
     def tap(acc, inp):
         off_k, m_k, w_k, ky_k, kx_k = inp
-        fy_k = oy[None, :, None, None] + ky_k + off_k[..., 0]
-        fx_k = ox[None, None, :, None] + kx_k + off_k[..., 1]
+        fy_k = (oy[None, :, None, None] + ky_k
+                + off_k[..., 0].astype(jnp.float32))
+        fx_k = (ox[None, None, :, None] + kx_k
+                + off_k[..., 1].astype(jnp.float32))
         sampled = _deform_gather_tap_packed(
             x4, (n, h, w, dg, cg), x.dtype, fy_k, fx_k)  # (N,Ho,Wo,dg,cg)
         sampled = sampled * m_k[..., None]
@@ -296,7 +302,9 @@ def deform_sample(x, flow):
     corner-packed row per (pixel, group) instead of the DCN's 9 kernel
     taps — 9x fewer rows through the platform's gather unit, the
     measured step bottleneck (docs/TPUDesign.md "Known TPU bottleneck").
-    Same (item, group) VMEM-slab scan as _mdcn_slab_scan; zero outside
+    Same (item, group) VMEM-slab scan as _mdcn_slab_scan, with the same
+    per-group checkpoint policy (the backward re-gathers from the slab
+    unless MREFSR_DCN_SAVE_GATHER saves the corner rows); zero outside
     the boundary (mmcv corner semantics).
 
     Args:
@@ -314,18 +322,20 @@ def deform_sample(x, flow):
     cg = c // dg
     x4 = _pack_bilinear_corners(x, dg)      # (N, dg, (H+1)(W+1), 4*cg)
     flow_t = jnp.moveaxis(flow, 3, 1)       # (N, dg, H, W, 2)
-    oy = jnp.arange(h, dtype=flow.dtype)
-    ox = jnp.arange(w, dtype=flow.dtype)
+    # f32 coordinates: bf16 flow above position 256 quantizes to ulp 2
+    oy = jnp.arange(h, dtype=jnp.float32)
+    ox = jnp.arange(w, dtype=jnp.float32)
 
     def grp(_, ginp):
         x4_g, f_g = ginp                    # ((H+1)(W+1), 4cg), (H, W, 2)
-        fy = oy[:, None] + f_g[..., 0]
-        fx = ox[None, :] + f_g[..., 1]
+        fy = oy[:, None] + f_g[..., 0].astype(jnp.float32)
+        fx = ox[None, :] + f_g[..., 1].astype(jnp.float32)
         return None, _slab_bilinear(x4_g, (h, w, cg), x.dtype, fy, fx)
 
     def item(_, inp):
         x4_i, f_i = inp
-        _, out_i = jax.lax.scan(grp, None, (x4_i, f_i))  # (dg, H, W, cg)
+        _, out_i = jax.lax.scan(_tap_checkpoint(grp), None,
+                                (x4_i, f_i))  # (dg, H, W, cg)
         return None, out_i
 
     _, out = jax.lax.scan(item, None, (x4, flow_t))      # (N, dg, H, W, cg)
