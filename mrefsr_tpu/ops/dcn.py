@@ -342,6 +342,30 @@ def deform_sample(x, flow):
     return jnp.moveaxis(out, 1, 3).reshape(n, h, w, c)
 
 
+def deform_conv2d(x, offset, weight, stride=1, padding=0, dilation=1,
+                  groups=1, deform_groups=1):
+    """DCNv1 (unmodulated) deformable conv — the maskless specialization
+    of :func:`modulated_deform_conv2d`.
+
+    Matches the reference ops surface `DeformConv`/`deform_conv`
+    (reference basicsr/ops/dcn/deform_conv.py:188-247): identical
+    sampling semantics to the modulated form with mask ≡ 1 and no bias
+    (the reference's DeformConv asserts ``not bias``). No registered
+    arch uses v1 — this exists for ops-surface parity.
+
+    Args:
+        x: (N, H, W, C) input.
+        offset: (N, Ho, Wo, dg, K, 2) per-tap (dy, dx) offsets.
+        weight: (kh, kw, C // groups, Cout).
+    """
+    n, ho, wo, dg, k, _ = offset.shape
+    assert dg == deform_groups
+    mask = jnp.ones((n, ho, wo, dg, k), x.dtype)
+    return modulated_deform_conv2d(
+        x, offset, mask, weight, bias=None, stride=stride, padding=padding,
+        dilation=dilation, groups=groups, deform_groups=deform_groups)
+
+
 def offset_mask_from_conv_out(out, deform_groups, kernel_size=(3, 3)):
     """Split a conv_offset_mask output into (offset, mask) in this module's
     layout.

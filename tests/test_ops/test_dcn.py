@@ -104,6 +104,24 @@ def test_vs_naive(dg, groups, stride):
     np.testing.assert_allclose(mine, ref, atol=1e-4)
 
 
+@pytest.mark.parametrize('dg,groups', [(1, 1), (2, 2)])
+def test_deform_conv_v1_vs_naive(dg, groups):
+    """DCNv1 (maskless) == naive oracle with mask forced to 1
+    (reference ops surface deform_conv.py:191,248)."""
+    from mrefsr_tpu.ops import deform_conv2d
+    n, h, w, c, cout = 1, 6, 7, 4, 4
+    x = RNG.rand(n, h, w, c).astype(np.float32)
+    offset = (RNG.randn(n, h, w, dg, 9, 2) * 1.5).astype(np.float32)
+    weight = (RNG.randn(3, 3, c // groups, cout) * 0.3).astype(np.float32)
+
+    mine = np.asarray(deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(weight),
+        stride=1, padding=1, groups=groups, deform_groups=dg))
+    ones = np.ones((n, h, w, dg, 9), np.float32)
+    ref = naive_mdcn(x, offset, ones, weight, None, 1, 1, 1, groups, dg)
+    np.testing.assert_allclose(mine, ref, atol=1e-4)
+
+
 def test_far_out_of_range_offsets_are_zero():
     """Samples whose whole 2x2 bilinear patch is outside [-1, dim] must
     contribute exactly zero (the packed-corner gather clips the row index
