@@ -14,10 +14,12 @@ from mrefsr_tpu.utils.registry import DATASET_REGISTRY
 
 from .data_sampler import EnlargedSampler
 from .loader import DataLoader
-from .prefetch_dataloader import CPUPrefetcher, DevicePrefetcher
+from .prefetch_dataloader import (BackgroundDevicePrefetcher,
+                                  CPUPrefetcher, DevicePrefetcher)
 
 __all__ = ['build_dataset', 'build_dataloader', 'EnlargedSampler',
-           'CPUPrefetcher', 'DevicePrefetcher']
+           'CPUPrefetcher', 'DevicePrefetcher',
+           'BackgroundDevicePrefetcher']
 
 data_folder = osp.dirname(osp.abspath(__file__))
 dataset_filenames = [

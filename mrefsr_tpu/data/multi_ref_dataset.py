@@ -33,17 +33,21 @@ def _impad_to(img, shape, pad_val=0):
     return np.pad(img, ((0, ph), (0, pw), (0, 0)), constant_values=pad_val)
 
 
+def _pil_down_up_u8(img_u8, scale):
+    """uint8 PIL bicubic down x scale and back up (uint8 in/out)."""
+    h, w = img_u8.shape[:2]
+    lq_h, lq_w = h // scale, w // scale
+    pil = Image.fromarray(img_u8)
+    lq = pil.resize((lq_w, lq_h), Image.BICUBIC)
+    up = lq.resize((w, h), Image.BICUBIC)
+    return np.array(lq), np.array(up)
+
+
 def _pil_down_up(img01, scale):
     """uint8-quantized PIL bicubic down x scale and back up — the exact
     degradation at reference multi_ref_dataset.py:93-113."""
-    h, w = img01.shape[:2]
-    lq_h, lq_w = h // scale, w // scale
-    pil = Image.fromarray((img01 * 255).astype(np.uint8))
-    lq = pil.resize((lq_w, lq_h), Image.BICUBIC)
-    up = lq.resize((w, h), Image.BICUBIC)
-    lq = np.array(lq).astype(np.float32) / 255.
-    up = np.array(up).astype(np.float32) / 255.
-    return lq, up
+    lq, up = _pil_down_up_u8((img01 * 255).astype(np.uint8), scale)
+    return lq.astype(np.float32) / 255., up.astype(np.float32) / 255.
 
 
 @DATASET_REGISTRY.register()
@@ -62,6 +66,36 @@ class MultiRefMegaDepthDataset:
         self.ref_folder = opt['dataroot_ref']
         self.ann_file = opt['ann_file']
         self.load_annotations()
+        # Opt-in decoded-image LRU cache (``decode_cache_size``: max
+        # FULL decoded uint8 images kept). The host input pipeline is
+        # decode-bound (6 full JPEG decodes per sample) and every image
+        # is re-read ~dataset_enlarge_ratio times per epoch, so a cache
+        # sized to the working set removes nearly all decode cost.
+        # ~3 MB per 1-MP image; size to available host RAM.
+        self._cache_size = int(opt.get('decode_cache_size', 0))
+        if self._cache_size:
+            import collections
+            import threading
+            self._cache = collections.OrderedDict()
+            self._cache_lock = threading.Lock()
+
+    def _load_u8(self, path):
+        """Decode to uint8 RGB (through the LRU cache when enabled)."""
+        if not self._cache_size:
+            return np.array(Image.open(path).convert('RGB'))
+        with self._cache_lock:
+            img = self._cache.get(path)
+            if img is not None:
+                self._cache.move_to_end(path)
+                return img
+        img = np.array(Image.open(path).convert('RGB'))
+        img.setflags(write=False)
+        with self._cache_lock:
+            self._cache[path] = img
+            self._cache.move_to_end(path)
+            while len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
+        return img
 
     def load_annotations(self):
         import pandas as pd
@@ -81,36 +115,47 @@ class MultiRefMegaDepthDataset:
     def __getitem__(self, index):
         scale = self.opt['scale']
         in_path, ref_paths, p0, p_refs = self.samples[index]
-        img_in = np.array(Image.open(in_path).convert('RGB')).astype(
-            np.float32) / 255.
-        refs = [np.array(Image.open(p).convert('RGB')).astype(
-            np.float32) / 255. for p in ref_paths]
 
+        # Decode to uint8 and crop BEFORE the float32 conversion: the
+        # f32 copy of six full ~1-MP images costs more host time than
+        # the JPEG decodes themselves, and /255. after the crop is
+        # bit-identical (measured: 93 -> ~62 ms/sample single-core).
         gt_h = gt_w = self.opt['gt_size']
-        img_in = match_point_crop(img_in, p0, gt_h, gt_w)
-        refs = [match_point_crop(r, p, gt_h, gt_w)
-                for r, p in zip(refs, p_refs)]
+        img_in = match_point_crop(self._load_u8(in_path), p0, gt_h, gt_w)
+        refs = [match_point_crop(self._load_u8(p), pt, gt_h, gt_w)
+                for p, pt in zip(ref_paths, p_refs)]
         random.shuffle(refs)
+
+        # the whole pipeline to this point is uint8 (decode, crop,
+        # flip/rot, PIL resampling all operate on uint8), so with
+        # ``output_dtype: uint8`` samples ship as uint8 and the /255.
+        # float conversion moves to the DEVICE (DevicePrefetcher):
+        # exactly the same values (u8/255 is exact in f32) with 4x
+        # fewer host->device bytes and no host-side float copies.
+        u8_out = self.opt.get('output_dtype') == 'uint8'
 
         imgs = augment([img_in] + refs, self.opt['use_flip'],
                        self.opt['use_rot'])
         img_in, refs = imgs[0], imgs[1:]
 
-        img_in_lq, img_in_up = _pil_down_up(img_in, scale)
+        img_in_lq, img_in_up = _pil_down_up_u8(img_in, scale)
         refs_lq, refs_up = [], []
         for r in refs:
-            lq, up = _pil_down_up(r, scale)
+            lq, up = _pil_down_up_u8(r, scale)
             refs_lq.append(lq)
             refs_up.append(up)
 
+        def out(img):
+            img = np.ascontiguousarray(img)
+            return img if u8_out else img.astype(np.float32) / 255.
+
         return {
-            'img_in': np.ascontiguousarray(img_in),
-            'img_in_lq': img_in_lq,
-            'img_in_up': img_in_up,
-            'img_ref_list': np.stack(
-                [np.ascontiguousarray(r) for r in refs]),
-            'img_ref_lq_list': np.stack(refs_lq),
-            'img_ref_up_list': np.stack(refs_up),
+            'img_in': out(img_in),
+            'img_in_lq': out(img_in_lq),
+            'img_in_up': out(img_in_up),
+            'img_ref_list': np.stack([out(r) for r in refs]),
+            'img_ref_lq_list': np.stack([out(r) for r in refs_lq]),
+            'img_ref_up_list': np.stack([out(r) for r in refs_up]),
         }
 
     def __len__(self):

@@ -389,15 +389,43 @@ class BaseModel:
         dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
         return vgg_module.init(jax.random.PRNGKey(0), dummy)
 
+    @staticmethod
+    def _as_f32(v):
+        """Batch input -> float32, host or device. Device arrays from
+        BackgroundDevicePrefetcher pass through untouched (they are
+        already f32 on the mesh — a np.asarray here would pull them
+        back to the host); host arrays get the usual f32 view."""
+        if isinstance(v, jax.Array):
+            return v
+        return np.asarray(v, np.float32)
+
     def get_current_log(self):
-        return self.log_dict
+        # device scalars convert here, NOT in reduce_loss_dict: reading
+        # a loss right after dispatch would block the host on the whole
+        # step/wave and serialize compute against the next wave's
+        # loader+H2D work. Logging happens at print_freq, so this sync
+        # is rare and cheap.
+        return {k: float(v) for k, v in self.log_dict.items()}
 
     def reduce_loss_dict(self, loss_dict):
         """Average losses for logging (reference base_model.py:358-383).
         With a single controller the jitted step already returns
-        globally-reduced means, so this converts device scalars to
-        python floats."""
-        return {k: float(v) for k, v in loss_dict.items()}
+        globally-reduced means; values stay as (async) device scalars
+        and become python floats lazily in get_current_log.
+
+        Doubles as the dispatch throttle: block on the PREVIOUS
+        dispatch's losses before returning, so the host runs at most
+        ONE step/wave ahead (double buffering — the next wave's loader
+        work and H2D overlap this wave's compute, but the dispatch
+        queue and its input buffers stay bounded)."""
+        import jax
+        prev = getattr(self, '_pending_sync', None)
+        if prev is not None:
+            jax.block_until_ready(prev)
+        vals = [v for v in loss_dict.values()
+                if hasattr(v, 'block_until_ready')]
+        self._pending_sync = vals[0] if vals else None
+        return dict(loss_dict)
 
     def print_network(self, net):
         logger = get_root_logger()

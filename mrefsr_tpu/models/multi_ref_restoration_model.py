@@ -14,6 +14,7 @@ ONE jitted graph per step; the reference's per-ref python loops
 (corres generation) is a vmap. Gradients flow only into net_g; the
 frozen towers' variables ride along as untraced constants.
 """
+import os
 import os.path as osp
 from collections import OrderedDict
 
@@ -201,9 +202,36 @@ class MultiRefRestorationModel(BaseModel):
         refs = jnp.asarray(batch['img_ref_list'][:1])
         lq = jnp.asarray(batch['img_in_lq'][:1])
 
-        # extractor
-        self.vars_extractor = self.net_extractor.init(
-            r1, *self._extractor_args(match_img_in, refs))
+        def init_towers(r1, r2, r3, match_img_in, refs, lq):
+            """All three net inits + the two bridging forwards in ONE
+            traced computation. Eagerly, the b=1 extractor/matching
+            forwards cost hundreds of op dispatches, each paying the
+            device-tunnel round trip (~270 s of the round-2 driver
+            bench); jitted they are one dispatch and the executable
+            lands in the persistent compile cache."""
+            vars_ex = self.net_extractor.init(
+                r1, *self._extractor_args(match_img_in, refs))
+            d1, d2 = self._apply_extractor(vars_ex, match_img_in, refs)
+            b, t = refs.shape[0], refs.shape[1]
+            d1_flat = jnp.broadcast_to(
+                d1[:, None], (b, t) + d1.shape[1:]).reshape(
+                (b * t,) + d1.shape[1:])
+            d2_flat = d2.reshape((b * t,) + d2.shape[2:])
+            refs_flat = refs.reshape((b * t,) + refs.shape[2:])
+            vars_map = self.net_map.init(
+                r2, {'dense_features1': d1_flat,
+                     'dense_features2': d2_flat}, refs_flat)
+            pre_offset, img_ref_feat = self._net_g_ref_inputs(
+                *self._run_map(d1, d2, refs, vars_map))
+            vars_g = self.net_g.init(r3, lq, pre_offset, img_ref_feat)
+            return vars_ex, vars_map, vars_g
+
+        if jax.default_backend() != 'cpu' or os.environ.get(
+                'MREFSR_JIT_INIT'):
+            init_towers = jax.jit(init_towers)
+        (self.vars_extractor, self.vars_map,
+         self.vars_g) = init_towers(r1, r2, r3, match_img_in, refs, lq)
+
         load_path = self.opt['path'].get(
             'pretrain_network_feature_extractor')
         if load_path:
@@ -213,18 +241,6 @@ class MultiRefRestorationModel(BaseModel):
             logger.info('Loaded feature extractor from '
                         f'{load_path}')
 
-        # net_map (vgg19 weights via vgg_pretrain_path, torchvision layout)
-        d1, d2 = self._apply_extractor(self.vars_extractor, match_img_in,
-                                       refs)
-        b, t = refs.shape[0], refs.shape[1]
-        d1_flat = jnp.broadcast_to(d1[:, None],
-                                   (b, t) + d1.shape[1:]).reshape(
-            (b * t,) + d1.shape[1:])
-        d2_flat = d2.reshape((b * t,) + d2.shape[2:])
-        refs_flat = refs.reshape((b * t,) + refs.shape[2:])
-        self.vars_map = self.net_map.init(
-            r2, {'dense_features1': d1_flat, 'dense_features2': d2_flat},
-            refs_flat)
         vgg_path = self.opt['path'].get('vgg_pretrain_path')
         if vgg_path:
             from mrefsr_tpu.archs.vgg_arch import vgg_rename
@@ -241,10 +257,6 @@ class MultiRefRestorationModel(BaseModel):
             self.vars_map = self._merge(self.vars_map, loaded)
             logger.info(f'Loaded VGG for net_map from {vgg_path}')
 
-        # net_g
-        pre_offset, img_ref_feat = self._net_g_ref_inputs(
-            *self._run_map(d1, d2, refs))
-        self.vars_g = self.net_g.init(r3, lq, pre_offset, img_ref_feat)
         load_path = self.opt['path'].get('pretrain_network_g')
         if load_path:
             loaded = self.load_network(load_path, param_key='params')
@@ -391,11 +403,18 @@ class MultiRefRestorationModel(BaseModel):
         return jax.jit(step)
 
     # ------------------------------------------------------------------ API
+    # keys BackgroundDevicePrefetcher should place on the mesh (the
+    # ref lq/up stacks ride along in batches for dataset parity but are
+    # not consumed by this strategy — transferring them would triple
+    # the H2D bytes)
+    device_input_keys = ('img_in', 'img_in_lq', 'img_in_up',
+                         'img_ref_list')
+
     def feed_data(self, data):
-        self.img_in_lq = np.asarray(data['img_in_lq'], np.float32)
-        self.img_ref_list = np.asarray(data['img_ref_list'], np.float32)
-        self.gt = np.asarray(data['img_in'], np.float32)
-        self.match_img_in = np.asarray(data['img_in_up'], np.float32)
+        self.img_in_lq = self._as_f32(data['img_in_lq'])
+        self.img_ref_list = self._as_f32(data['img_ref_list'])
+        self.gt = self._as_f32(data['img_in'])
+        self.match_img_in = self._as_f32(data['img_in_up'])
         self._ensure_initialized({
             'img_in_up': self.match_img_in,
             'img_ref_list': self.img_ref_list,
@@ -419,6 +438,21 @@ class MultiRefRestorationModel(BaseModel):
             self.log_dict = self.reduce_loss_dict(losses)
         else:
             self._optimize_gan(step, match_img_in, refs, lq, gt)
+
+    def _stack_wave(self, *arg_lists):
+        """Stack per-step input lists along a leading wave axis, sharded
+        (None, 'data'). Host arrays stack in numpy then transfer; device
+        arrays (BackgroundDevicePrefetcher output — already on the mesh)
+        stack ON DEVICE, so no host copy or re-transfer happens."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, 'data'))
+        out = []
+        for arrs in arg_lists:
+            if isinstance(arrs[0], jax.Array):
+                out.append(jax.device_put(jnp.stack(arrs), sh))
+            else:
+                out.append(put_sharded(np.stack(arrs), sh))
+        return out
 
     def optimize_parameters_wave(self, batches, first_iter):
         """Run ``len(batches)`` pixel-phase optimizer steps fused into
@@ -462,12 +496,7 @@ class MultiRefRestorationModel(BaseModel):
         if self._train_step_pix is None:
             self._train_step_pix = self._build_train_step_pix()
 
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(self.mesh, P(None, 'data'))
-        mi = put_sharded(np.stack(mis), sh)
-        refs = put_sharded(np.stack(refss), sh)
-        lq = put_sharded(np.stack(lqs), sh)
-        gt = put_sharded(np.stack(gts), sh)
+        mi, refs, lq, gt = self._stack_wave(mis, refss, lqs, gts)
 
         if self._train_step_wave is None:
             raw = self._train_step_pix_raw
@@ -652,12 +681,7 @@ class MultiRefRestorationModel(BaseModel):
             gts.append(self.gt)
         rngs = jnp.stack([self.next_rng() for _ in batches])
 
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(self.mesh, P(None, 'data'))
-        mi = put_sharded(np.stack(mis), sh)
-        refs = put_sharded(np.stack(refss), sh)
-        lq = put_sharded(np.stack(lqs), sh)
-        gt = put_sharded(np.stack(gts), sh)
+        mi, refs, lq, gt = self._stack_wave(mis, refss, lqs, gts)
 
         if self._train_step_gan_wave is None:
             raw = self._train_step_gan_raw

@@ -20,13 +20,14 @@ class RefRestorationModel(MultiRefRestorationModel):
 
     _multi_ref = False
 
+    device_input_keys = ('img_in', 'img_in_lq', 'img_in_up', 'img_ref')
+
     def feed_data(self, data):
-        self.img_in_lq = np.asarray(data['img_in_lq'], np.float32)
+        self.img_in_lq = self._as_f32(data['img_in_lq'])
         # single ref rides as a T=1 stack internally
-        self.img_ref_list = np.asarray(data['img_ref'],
-                                       np.float32)[:, None]
-        self.gt = np.asarray(data['img_in'], np.float32)
-        self.match_img_in = np.asarray(data['img_in_up'], np.float32)
+        self.img_ref_list = self._as_f32(data['img_ref'])[:, None]
+        self.gt = self._as_f32(data['img_in'])
+        self.match_img_in = self._as_f32(data['img_in_up'])
         self._ensure_initialized({
             'img_in_up': self.match_img_in,
             'img_ref_list': self.img_ref_list,

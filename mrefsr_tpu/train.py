@@ -126,6 +126,25 @@ def train_pipeline(root_path, args=None):
     opt, cli_args = parse_options(root_path, is_train=True, args=args)
     opt['root_path'] = root_path
 
+    # Persistent XLA compile cache (compile_cache: <dir>, or the
+    # MREFSR_COMPILE_CACHE env var; 'none' disables). The stage3 scan
+    # compile costs minutes per shape — production restarts and
+    # multi-config sweeps shouldn't pay it twice.
+    import jax
+    cache_dir = os.environ.get(
+        'MREFSR_COMPILE_CACHE',
+        opt.get('compile_cache',
+                # default ON for real accelerators only: CPU runs (the
+                # test suite, dryruns) would pollute the committed
+                # cache with host-compiled entries
+                osp.join(root_path, '.jax_cache')
+                if jax.default_backend() != 'cpu' else None))
+    if cache_dir and str(cache_dir).lower() != 'none':
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          5.0)
+
     resume_state = load_resume_state(opt)
     if resume_state is None:
         make_exp_dirs(opt)
@@ -162,11 +181,21 @@ def train_pipeline(root_path, args=None):
 
     msg_logger = MessageLogger(opt, current_iter, tb_logger)
 
-    # prefetcher (reference train.py:136-150): the device prefetcher
-    # overlaps H2D with compute via async device_put
+    # prefetcher (reference train.py:136-150). 'device' is the
+    # production path: H2D on its own thread (overlaps compute even
+    # when transfers block their caller) + on-device uint8 -> f32
+    # conversion for output_dtype: uint8 datasets.
     prefetch_mode = opt['datasets']['train'].get('prefetch_mode')
     if prefetch_mode is None or prefetch_mode == 'cpu':
         prefetcher = CPUPrefetcher(train_loader)
+    elif prefetch_mode == 'device':
+        from mrefsr_tpu.data import BackgroundDevicePrefetcher
+        from mrefsr_tpu.parallel import batch_sharding
+        prefetcher = BackgroundDevicePrefetcher(
+            train_loader, opt, sharding=batch_sharding(model.mesh),
+            device_keys=getattr(model, 'device_input_keys', None),
+            depth=opt['datasets']['train'].get('prefetch_depth'))
+        logger.info(f'Use {prefetch_mode} prefetch dataloader.')
     else:
         prefetcher = DevicePrefetcher(train_loader, opt)
         logger.info(f'Use {prefetch_mode} prefetch dataloader.')

@@ -69,6 +69,50 @@ def test_multi_ref_megadepth_dataset(lmr_root):
     assert got == ref_imgs
 
 
+def test_multi_ref_megadepth_decode_cache_identical(lmr_root):
+    """decode_cache_size changes only WHERE decode happens, never the
+    sample values — cached and uncached datasets agree bit-exactly under
+    the same augmentation RNG state."""
+    import random
+    root, ann = lmr_root
+    opt = {'name': 'lmr', 'type': 'MultiRefMegaDepthDataset',
+           'phase': 'train', 'scale': 4, 'gt_size': 32,
+           'dataroot_in': root, 'dataroot_ref': root, 'ann_file': ann,
+           'use_flip': True, 'use_rot': True}
+    ds_plain = build_dataset(opt)
+    ds_cache = build_dataset(dict(opt, decode_cache_size=16))
+    _ = ds_cache[0]  # populate the cache so the second read hits it
+    random.seed(123)
+    a = ds_plain[0]
+    random.seed(123)
+    b = ds_cache[0]
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_multi_ref_megadepth_uint8_output_exact(lmr_root):
+    """output_dtype: uint8 ships the same sample values as the float
+    pipeline: u8/255 is exact in f32, so dividing the uint8 sample by
+    255 reproduces the f32 sample bit-for-bit (the device-side /255.
+    in BackgroundDevicePrefetcher is this same formula)."""
+    import random
+    root, ann = lmr_root
+    opt = {'name': 'lmr', 'type': 'MultiRefMegaDepthDataset',
+           'phase': 'train', 'scale': 4, 'gt_size': 32,
+           'dataroot_in': root, 'dataroot_ref': root, 'ann_file': ann,
+           'use_flip': True, 'use_rot': True}
+    ds_f32 = build_dataset(opt)
+    ds_u8 = build_dataset(dict(opt, output_dtype='uint8'))
+    random.seed(7)
+    a = ds_f32[0]
+    random.seed(7)
+    b = ds_u8[0]
+    for k in a:
+        assert b[k].dtype == np.uint8, k
+        np.testing.assert_array_equal(
+            a[k], b[k].astype(np.float32) / 255., err_msg=k)
+
+
 @pytest.fixture
 def cufed_root(tmp_path):
     rng = np.random.RandomState(1)

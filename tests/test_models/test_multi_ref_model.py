@@ -223,6 +223,39 @@ def test_wave_dispatch_matches_per_step():
     assert np.isfinite(m_wave.log_dict['l_pix'])
 
 
+def test_wave_with_device_batches_matches_host():
+    """Device-resident batches (BackgroundDevicePrefetcher output:
+    uint8 shipped, astype(f32)/255. applied on device) must produce the
+    SAME training trajectory as host float batches — feed_data and the
+    wave stack keep device arrays on device (no D2H round trip)."""
+    import jax
+    import jax.numpy as jnp
+
+    batches = [make_batch(np.random.RandomState(300 + i))
+               for i in range(2)]
+    # quantize to u8-representable values so both pipelines see
+    # identical inputs
+    batches = [
+        {k: (np.round(v * 255).astype(np.uint8).astype(np.float32)
+             / 255.) for k, v in b.items()} for b in batches]
+
+    m_host = build_model(make_opt(multi=True))
+    m_host.optimize_parameters_wave(batches, 1)
+
+    def to_device(b):
+        return {k: jnp.asarray(
+            np.round(v * 255).astype(np.uint8)).astype(jnp.float32)
+            / 255. for k, v in b.items()}
+
+    m_dev = build_model(make_opt(multi=True))
+    m_dev.optimize_parameters_wave([to_device(b) for b in batches], 1)
+
+    host = jax.tree_util.tree_leaves(m_host.vars_g['params'])
+    dev = jax.tree_util.tree_leaves(m_dev.vars_g['params'])
+    for a, b in zip(host, dev):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_wave_falls_back_across_gan_boundary():
     """A wave that would cross net_g_pretrain_steps must fall back to
