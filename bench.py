@@ -9,14 +9,31 @@ images/sec/chip.
 
 vs_baseline follows BASELINE.json's north star — "a single v5e-8
 exceeding the reference's 4-GPU stage3 training throughput":
-vs_baseline = (imgs/sec/chip x 8 chips) / (4 GPUs x nominal per-GPU
+vs_baseline = (imgs/sec/chip x 8 chips) / (4 GPUs x derived per-GPU
 rate). The reference publishes no throughput numbers (BASELINE.md —
-"published": {}), so the per-GPU denominator is a documented nominal
-estimate: REF_IMGS_PER_SEC_PER_GPU = 12.0 (4xGPU DDP, batch 12/GPU —
-a typical V100-class rate for this workload). The JSON carries
-``baseline_estimated: true`` + the nominal rate so the figure is
-machine-readably honest; replace when a measured reference number
-exists.
+"published": {}) and no GPU exists here to measure one, so the per-GPU
+denominator is DERIVED (baseline_basis: "derived", full math in
+BASELINE.md "Derived reference throughput"):
+
+    per-GPU rate = achieved V100 f32 training TF/s
+                   / step TFLOP per image
+                 = 9.8 / 0.995  =  9.85 img/s/GPU
+
+* step cost 0.995 TFLOP/image: MEASURED via XLA cost_analysis over the
+  full stage3 train step at gt=160 (scripts/benchmarks/count_flops.py
+  — same networks, same algebra as the reference's torch graph).
+* 9.8 TF/s: public achieved rate for f32 conv-net TRAINING on V100
+  (ResNet-50 ~400 img/s x 24.6 GFLOP/img ~ 62% of 15.7 TF/s peak).
+  GENEROUS to the reference: it assumes the whole step (including the
+  memory-bound mmcv DCN im2col and the chunked correlation, and the
+  host loader / DDP overheads) runs at clean-conv efficiency.
+* V100-f32 is the modeled hardware: 2023 BasicSR-lineage paper, no AMP
+  anywhere in the reference configs. BASELINE.md carries an A100-TF32
+  sensitivity row.
+
+The JSON still carries ``baseline_estimated: true`` plus every
+derivation input so the figure is machine-readably honest; replace
+with a measured reference number when one exists.
 
 Driver-robustness design (each a round-1 failure mode):
   * persistent compilation cache in ``<repo>/.jax_cache`` — committed,
@@ -40,7 +57,11 @@ import time
 
 import numpy as np
 
-REF_IMGS_PER_SEC_PER_GPU = 12.0  # nominal estimate, see module docstring
+# Derived reference baseline (see module docstring + BASELINE.md):
+REF_STEP_TFLOP_PER_IMAGE = 0.995   # measured, count_flops.py @ gt=160
+REF_GPU_ACHIEVED_TFLOPS = 9.8      # V100 f32 conv-training achieved
+REF_IMGS_PER_SEC_PER_GPU = round(
+    REF_GPU_ACHIEVED_TFLOPS / REF_STEP_TFLOP_PER_IMAGE, 2)  # 9.85
 REF_NUM_GPUS = 4
 TARGET_NUM_CHIPS = 8  # one v5e-8 host
 
@@ -62,7 +83,11 @@ def _emit(value, vs_baseline, extra=None):
         'unit': UNIT,
         'vs_baseline': vs_baseline,
         'baseline_estimated': True,
-        'baseline_nominal_imgs_per_sec_per_gpu': REF_IMGS_PER_SEC_PER_GPU,
+        'baseline_basis': 'derived',
+        'baseline_imgs_per_sec_per_gpu': REF_IMGS_PER_SEC_PER_GPU,
+        'baseline_step_tflop_per_image': REF_STEP_TFLOP_PER_IMAGE,
+        'baseline_gpu_achieved_tflops': REF_GPU_ACHIEVED_TFLOPS,
+        'baseline_gpu_model': 'V100-f32 (see BASELINE.md)',
     }
     if extra:
         result.update(extra)
@@ -150,12 +175,15 @@ def _supervise():
     sys.exit(4)
 
 
-def _probe_devices(timeout_s):
-    """Initialize the backend + run one tiny op, bounded by timeout_s.
+def _probe_devices_start():
+    """Kick off backend init + one tiny op on a daemon thread.
 
     The axon tunnel's first connect can take minutes or hang outright,
     and a libtpu client/terminal version mismatch kills the first
     dispatch — probe in a daemon thread so we can fail fast either way.
+    Returning immediately lets the caller overlap its own heavy imports
+    (torch/flax/optax ~10 s) and host-side setup under the tunnel
+    connect, which dominated the round-2 driver run (141 s of probe).
     """
     state = {}
 
@@ -173,6 +201,10 @@ def _probe_devices(timeout_s):
 
     th = threading.Thread(target=_probe, daemon=True)
     th.start()
+    return state, th
+
+
+def _probe_devices_join(state, th, timeout_s):
     th.join(timeout_s)
     if th.is_alive():
         _probe_retry_or_fail(
@@ -206,12 +238,17 @@ def main():
     # 240s per attempt: the healthy tunnel connects in seconds, and a
     # shorter timeout leaves room for the re-exec retries (the hang mode
     # is transient — a fresh process right after usually connects)
-    backend, n_devices = _probe_devices(
-        float(os.environ.get('BENCH_PROBE_TIMEOUT', '240')))
-    _hb(f'backend={backend} devices={n_devices} cache={cache_dir}')
+    probe_state, probe_th = _probe_devices_start()
 
+    # overlap the framework imports (torch/flax/optax, ~10 s) under the
+    # tunnel connect — they don't touch devices
     import jax.numpy as jnp
     from mrefsr_tpu.models import build_model
+
+    backend, n_devices = _probe_devices_join(
+        probe_state, probe_th,
+        float(os.environ.get('BENCH_PROBE_TIMEOUT', '240')))
+    _hb(f'backend={backend} devices={n_devices} cache={cache_dir}')
 
     # 8/chip is the measured throughput sweet spot on a 16 GB v5e chip
     # (default = single-remat DCN backward + fusion residuals kept:
