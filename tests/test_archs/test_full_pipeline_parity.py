@@ -13,9 +13,11 @@ through mrefsr_tpu.convert. The reference side runs pure-torch on CPU:
 torchvision VGG towers and mmcv's DCN are stubbed with equivalent torch
 implementations (tests/torch_dcn_stub.py pattern).
 
-Canvas defaults to 160x160 (LR 40x40) to keep CPU cost sane; set
-MREFSR_PARITY_CANVAS=500 for the full CUFED5 eval canvas
-(reference basicsr/data/multi_ref_dataset.py:174-180 pads to 500x500).
+The slow suite runs BOTH the 160x160 dev canvas and the full 500x500
+CUFED5 protocol canvas (reference basicsr/data/multi_ref_dataset.py:
+174-180) — the 500 run passes at atol=2e-3 in ~6-23 min on CPU
+(recorded round 3, uncontended vs fully loaded machine).
+MREFSR_PARITY_CANVAS=<n> pins one canvas.
 """
 import os
 import sys
@@ -36,7 +38,12 @@ from test_vgg_contras import build_torch_vgg  # noqa: E402
 
 from mrefsr_tpu.convert import torch_to_flax  # noqa: E402
 
-CANVAS = int(os.environ.get('MREFSR_PARITY_CANVAS', '160'))
+# Both the fast dev canvas AND the full CUFED5 protocol canvas (500,
+# reference basicsr/data/multi_ref_dataset.py:174-180) run in the
+# slow suite; MREFSR_PARITY_CANVAS pins a single canvas instead.
+_CANVASES = ([int(os.environ['MREFSR_PARITY_CANVAS'])]
+             if os.environ.get('MREFSR_PARITY_CANVAS')
+             else [160, 500])
 
 
 def _install_torchvision_vgg_stub():
@@ -91,11 +98,12 @@ def _drop_norm_buffers(key):
 
 
 @pytest.mark.slow
-def test_full_pipeline_forward_parity(ref_mods):
+@pytest.mark.parametrize('canvas', _CANVASES)
+def test_full_pipeline_forward_parity(ref_mods, canvas):
     _, multi_mod, corres_mod, mrapa_mod = ref_mods
     import __graft_entry__
 
-    gt, b, t = CANVAS, 1, 5
+    gt, b, t = canvas, 1, 5
     ngf, n_blocks, groups = 64, 16, 8
 
     torch.manual_seed(3)
