@@ -77,13 +77,13 @@ def assets(tmp_path_factory):
             'ngf': ngf, 'n_blocks': n_blocks}
 
 
-def _run(script, assets, extra, capsys):
+def _run(script, assets, extra, capsys, canvas=None):
     argv = ['eval_parity.py',
             '--net_g', assets['net_g'],
             '--extractor', assets['extractor'],
             '--cufed5', assets['cufed'],
             '--results-dir', assets['results'],
-            '--canvas', str(CANVAS),
+            '--canvas', str(canvas if canvas is not None else CANVAS),
             '--ngf', str(assets['ngf']),
             '--n-blocks', str(assets['n_blocks'])] + extra
     old = sys.argv
@@ -119,3 +119,34 @@ def test_eval_parity_end_to_end_and_gates(assets, capsys):
     rc, report = _run(script, assets, [
         '--expected-psnr', f"{m['psnr'] + 0.2:.6f}"], capsys)
     assert rc == 2 and report['parity_ok'] is False
+
+
+@pytest.mark.slow
+def test_eval_parity_serving_and_protocol_canvases(assets, capsys):
+    """Both shipped protocols stay runnable through the gate script:
+    the bucketed+bf16 serving form (options/test/
+    test_5ref_cufed5_serving.yml) and the reference's full 500 canvas
+    (the parity protocol) — so the day real checkpoints land, either
+    command runs as-is."""
+    script = _load_script()
+
+    # rectangular bucketed canvases + bf16 serving precision
+    rc, report = _run(script, assets, ['--bf16'], capsys,
+                      canvas='96,128')
+    assert rc == 0
+    assert all(np.isfinite(v) for v in report['metrics'].values())
+
+    # the full 500 reference protocol canvas (one image group — the
+    # 500-canvas matching dominates this test's CPU time)
+    import os
+    import shutil
+    one = assets['cufed'] + '_one'
+    if not os.path.isdir(one):
+        os.makedirs(one)
+        for i in range(6):
+            shutil.copy(os.path.join(assets['cufed'], f'000_{i}.png'),
+                        one)
+    rc, report = _run(script, dict(assets, cufed=one), [], capsys,
+                      canvas='500')
+    assert rc == 0
+    assert all(np.isfinite(v) for v in report['metrics'].values())
