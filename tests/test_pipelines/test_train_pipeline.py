@@ -84,3 +84,50 @@ def test_train_cli_completes(tiny_paired, mode, extra):
     assert 'End of training' in log, log[-2000:]
     assert 'iter:       4,' in log or 'iter:        4,' in log, \
         log[-2000:]
+
+
+def test_train_cli_auto_resume(tiny_paired, tmp_path):
+    """--auto_resume continues a killed run from the newest .state
+    through the REAL CLI (reference basicsr/train.py:68-88): run to
+    iter 4 (checkpointing at 2 and 4), then relaunch the same yml with
+    a longer total_iter — the second process must resume from iter 4
+    (not restart at 0) and finish the remaining iters."""
+    exp_root = tmp_path / 'exp'
+    yml = write_yml(
+        tiny_paired, 'pipe_resume',
+        f'  experiments_root: {exp_root}\n')
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    # write_yml puts experiments_root under train:, but it belongs in
+    # path: — patch the file instead of growing the helper
+    text = open(yml).read().replace(
+        'path: {pretrain_network_g: ~, strict_load: true, '
+        'resume_state: ~}',
+        f'path: {{pretrain_network_g: ~, strict_load: true, '
+        f'resume_state: ~, experiments_root: {exp_root}}}').replace(
+        f'  experiments_root: {exp_root}\n', '')
+    open(yml, 'w').write(text)
+
+    run1 = subprocess.run(
+        [sys.executable, 'train.py', '-opt', yml,
+         '--force_yml', 'train:total_iter=4',
+         'logger:save_checkpoint_freq=2'],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert run1.returncode == 0, run1.stderr[-2000:]
+    states = os.listdir(osp.join(str(exp_root), 'pipe_resume',
+                                 'training_states'))
+    assert '4.state' in states, states
+
+    run2 = subprocess.run(
+        [sys.executable, 'train.py', '-opt', yml, '--auto_resume',
+         '--force_yml', 'train:total_iter=8',
+         'logger:save_checkpoint_freq=2'],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert run2.returncode == 0, run2.stderr[-2000:]
+    log = run2.stdout + run2.stderr
+    assert 'Resuming training from epoch' in log and 'iter: 4' in log, \
+        log[-2000:]
+    assert 'End of training' in log, log[-2000:]
+    # the resumed run checkpointed the extension, not a restart
+    states = os.listdir(osp.join(str(exp_root), 'pipe_resume',
+                                 'training_states'))
+    assert '8.state' in states, states
