@@ -125,7 +125,12 @@ class BackgroundDevicePrefetcher:
         self._queue = None
         self._thread = None
         self._stop = None
-        self.reset()
+        self._done = False
+        # the producer starts lazily (first next() or an explicit
+        # reset()): the train loop resets per epoch AFTER
+        # sampler.set_epoch, so batches decoded+transferred by an
+        # eagerly-started producer would be discarded at the first
+        # reset
 
     def _transfer(self, k, v):
         if self.device_keys is not None:
@@ -144,40 +149,47 @@ class BackgroundDevicePrefetcher:
             dev = dev.astype(jnp.float32) / 255.
         return dev
 
+    @staticmethod
+    def _put_until_stop(q, stop, item):
+        """Put honoring the stop flag; True if delivered."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _producer(self):
         q, stop = self._queue, self._stop
         try:
             for batch in self.ori_loader:
                 out = {k: self._transfer(k, v) for k, v in batch.items()}
-                while not stop.is_set():
-                    try:
-                        q.put(out, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not self._put_until_stop(q, stop, out):
                     return
         except BaseException as e:  # noqa: B036
             # surface loader/transfer errors on the consumer side — a
             # silently dead producer would hang the train loop
-            while not stop.is_set():
-                try:
-                    q.put(e, timeout=0.5)
-                    return
-                except queue.Full:
-                    continue
+            self._put_until_stop(q, stop, e)
             return
-        while not stop.is_set():
-            try:
-                q.put(None, timeout=0.5)
-                return
-            except queue.Full:
-                continue
+        self._put_until_stop(q, stop, None)
 
     def next(self):
+        if self._thread is None:
+            self.reset()
+        if self._done:
+            # the epoch's single end sentinel was already consumed;
+            # keep returning None like CPU/DevicePrefetcher do (the
+            # wave loop's tail-batch collection eats the sentinel and
+            # the loop bottom calls next() once more — a blocking get()
+            # here would hang training at any epoch whose length is not
+            # a multiple of steps_per_dispatch)
+            return None
         batch = self._queue.get()
         if isinstance(batch, BaseException):
             raise batch
+        if batch is None:
+            self._done = True
         return batch
 
     def reset(self):
@@ -189,6 +201,7 @@ class BackgroundDevicePrefetcher:
                     self._queue.get_nowait()
                 except queue.Empty:
                     self._thread.join(timeout=0.1)
+        self._done = False
         self._stop = threading.Event()
         self._queue = queue.Queue(maxsize=self.depth)
         self._thread = threading.Thread(target=self._producer,

@@ -394,10 +394,18 @@ class BaseModel:
         """Batch input -> float32, host or device. Device arrays from
         BackgroundDevicePrefetcher pass through untouched (they are
         already f32 on the mesh — a np.asarray here would pull them
-        back to the host); host arrays get the usual f32 view."""
+        back to the host); host arrays get the usual f32 view. Host
+        uint8 arrays (``output_dtype: uint8`` datasets consumed by a
+        prefetcher that does not transfer them) get the same
+        ``astype(f32)/255.`` the device path applies — without this,
+        pairing uint8 shipping with the CPU prefetcher would silently
+        train on [0, 255] inputs."""
         if isinstance(v, jax.Array):
             return v
-        return np.asarray(v, np.float32)
+        arr = np.asarray(v)
+        if arr.dtype == np.uint8:
+            return arr.astype(np.float32) / 255.
+        return np.asarray(arr, np.float32)
 
     def get_current_log(self):
         # device scalars convert here, NOT in reduce_loss_dict: reading

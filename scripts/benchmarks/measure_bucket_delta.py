@@ -126,8 +126,18 @@ def main():
     from mrefsr_tpu.metrics import calculate_psnr, calculate_ssim
 
     root = osp.join(args.out, 'cufed_like')
-    if not glob.glob(osp.join(root, '*_0.png')):
+    # reuse the on-disk set only when it matches THIS run's parameters
+    # (a count/seed mismatch would silently measure a stale set)
+    stamp = osp.join(root, '.params')
+    want = f'images={args.images} seed={args.seed}'
+    have = open(stamp).read() if osp.isfile(stamp) else None
+    if have != want or not glob.glob(osp.join(root, '*_0.png')):
+        if osp.isdir(root):
+            import shutil
+            shutil.rmtree(root)
         _make_cufed_like(root, args.images, args.seed)
+        with open(stamp, 'w') as f:
+            f.write(want)
 
     ref = _eval_protocol(root, 500, args.mixed_precision)
     buck = _eval_protocol(root, args.buckets, args.mixed_precision)

@@ -47,15 +47,21 @@ def main():
 
     if osp.isdir(PREV):
         shutil.rmtree(PREV)
-    if osp.isdir(CACHE):
+    had_cache = osp.isdir(CACHE)
+    if had_cache:
         os.rename(CACHE, PREV)
+    else:
+        os.makedirs(PREV)  # empty stand-in: no entries to reuse
     os.makedirs(CACHE, exist_ok=True)
 
     proc = subprocess.run(cmd, cwd=REPO)
     if proc.returncode != 0:
         # failed run = unknown live set; restore the old cache
         shutil.rmtree(CACHE)
-        os.rename(PREV, CACHE)
+        if had_cache:
+            os.rename(PREV, CACHE)
+        else:
+            shutil.rmtree(PREV)
         print(f'command failed ({proc.returncode}); cache restored',
               file=sys.stderr)
         sys.exit(proc.returncode)

@@ -100,3 +100,55 @@ def test_background_matches_cpu_prefetcher_order():
         np.testing.assert_array_equal(
             a['img_in'].astype(np.float32) / 255.,
             np.asarray(b['img_in']))
+
+
+def test_background_prefetcher_exhausted_returns_none_repeatedly():
+    """After the epoch-end sentinel, next() keeps returning None like
+    CPU/DevicePrefetcher (regression: a single-sentinel queue made the
+    train loop's post-wave next() block forever at any epoch whose
+    length is not a multiple of steps_per_dispatch); reset() revives
+    the prefetcher for the next epoch."""
+    import threading
+
+    batches = make_batches(n=3)
+    pf = BackgroundDevicePrefetcher(ListLoader(batches),
+                                    device_keys=('img_in',), depth=2)
+    for _ in range(3):
+        assert pf.next() is not None
+
+    results = []
+
+    def drain():
+        # wave-loop shape: the tail-batch collection consumes the
+        # sentinel, then the loop bottom calls next() once more
+        results.append(pf.next())
+        results.append(pf.next())
+        results.append(pf.next())
+
+    th = threading.Thread(target=drain, daemon=True)
+    th.start()
+    th.join(timeout=30)
+    assert not th.is_alive(), 'next() blocked after exhaustion'
+    assert results == [None, None, None]
+
+    pf.reset()
+    assert pf.next() is not None
+
+
+def test_as_f32_scales_host_uint8():
+    """BaseModel._as_f32 applies the uint8 pipeline's astype(f32)/255.
+    to HOST uint8 arrays, so output_dtype: uint8 stays correct under
+    any prefetcher (regression: the CPU prefetcher handed feed_data raw
+    uint8 and the model trained on [0, 255] inputs)."""
+    from mrefsr_tpu.models.base_model import BaseModel
+
+    u8 = np.arange(0, 256, dtype=np.uint8).reshape(1, 8, 8, 4)
+    out = BaseModel._as_f32(u8)
+    assert out.dtype == np.float32
+    np.testing.assert_array_equal(out, u8.astype(np.float32) / 255.)
+
+    f32 = np.linspace(0, 1, 48, dtype=np.float32).reshape(1, 4, 4, 3)
+    np.testing.assert_array_equal(BaseModel._as_f32(f32), f32)
+
+    dev = jax.device_put(f32)
+    assert BaseModel._as_f32(dev) is dev

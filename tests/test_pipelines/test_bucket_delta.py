@@ -21,7 +21,8 @@ import pytest
 def _load_script():
     spec = importlib.util.spec_from_file_location(
         'measure_bucket_delta',
-        '/root/repo/scripts/benchmarks/measure_bucket_delta.py')
+        osp.join(osp.dirname(osp.abspath(__file__)), '..', '..',
+                 'scripts', 'benchmarks', 'measure_bucket_delta.py'))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod

@@ -29,7 +29,7 @@ def tiny_paired(tmp_path_factory):
     return root
 
 
-def write_yml(root, name, extra_train=''):
+def write_yml(root, name, extra_train='', extra_dataset=''):
     yml = root / f'{name}.yml'
     yml.write_text(f"""
 name: {name}
@@ -51,6 +51,7 @@ datasets:
     num_worker_per_gpu: 1
     batch_size_per_gpu: 2
     dataset_enlarge_ratio: 2
+{extra_dataset}
 network_g: {{type: MSRResNet, num_in_ch: 3, num_out_ch: 3, num_feat: 4,
              num_block: 1, upscale: 4}}
 path: {{pretrain_network_g: ~, strict_load: true, resume_state: ~}}
@@ -69,12 +70,19 @@ logger: {{print_freq: 2, use_tb_logger: false,
     return str(yml)
 
 
-@pytest.mark.parametrize('mode,extra', [
-    ('perstep', ''),
-    ('wave', '  steps_per_dispatch: 2'),
+@pytest.mark.parametrize('mode,extra,extra_ds', [
+    ('perstep', '', ''),
+    ('wave', '  steps_per_dispatch: 2', ''),
+    # wave size 3 does NOT divide the 4-iter epoch, and the device
+    # prefetcher is in the loop: the epoch-tail wave consumes the
+    # end-of-epoch sentinel and the loop bottom calls next() once more
+    # (regression: a single-sentinel prefetcher queue hung here
+    # forever; completion of this leg proves the boundary drains)
+    ('wave_device_tail', '  steps_per_dispatch: 3',
+     '    prefetch_mode: device'),
 ])
-def test_train_cli_completes(tiny_paired, mode, extra):
-    yml = write_yml(tiny_paired, f'pipe_{mode}', extra)
+def test_train_cli_completes(tiny_paired, mode, extra, extra_ds):
+    yml = write_yml(tiny_paired, f'pipe_{mode}', extra, extra_ds)
     env = dict(os.environ, JAX_PLATFORMS='cpu')
     proc = subprocess.run(
         [sys.executable, 'train.py', '-opt', yml], cwd=REPO, env=env,
