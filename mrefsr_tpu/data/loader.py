@@ -104,15 +104,45 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for chunk in chunks:
-                        if stop.is_set():
-                            break
-                        items = list(pool.map(self.dataset.__getitem__,
-                                              chunk))
-                        batch_q.put(self.collate_fn(items))
+                    # Item futures pipelined ACROSS batch boundaries: a
+                    # per-batch pool.map would barrier on the slowest
+                    # sample of every batch, idling the other workers at
+                    # each batch tail. Submission stays in index order
+                    # and results are harvested in order, so batch
+                    # contents and ordering are identical to the
+                    # synchronous path.
+                    flat = [j for chunk in chunks for j in chunk]
+                    futs = deque()
+                    try:
+                        pos = 0
+                        cap = self.batch_size + max(self.num_workers, 1)
+                        cur = []
+                        stopped = False
+                        for chunk in chunks:
+                            while len(cur) < len(chunk):
+                                if stop.is_set():
+                                    stopped = True
+                                    break
+                                while pos < len(flat) and len(futs) < cap:
+                                    futs.append(pool.submit(
+                                        self.dataset.__getitem__,
+                                        flat[pos]))
+                                    pos += 1
+                                cur.append(futs.popleft().result())
+                            if stopped:
+                                return
+                            batch_q.put(self.collate_fn(cur))
+                            cur = []
+                    finally:
+                        # cancel not-yet-started items BEFORE the pool
+                        # context waits on shutdown (both on early stop
+                        # and on a worker exception)
+                        while futs:
+                            futs.popleft().cancel()
             except BaseException as e:  # noqa: B036
                 # hand the error to the consumer — a dead producer with
                 # no sentinel would leave the train loop blocked forever
