@@ -767,15 +767,48 @@ class MultiRefRestorationModel(BaseModel):
         self._resume_trees = None
 
     # ---------------------------------------------------------- validation
+    def dist_validation(self, dataloader, current_iter, tb_logger,
+                        save_img):
+        """Image-sharded multi-process validation.
+
+        The reference evaluates CUFED5 on rank 0 only
+        (reference multi_ref_restoration_model.py:310-316) — every other
+        GPU idles through validation. Here each process evaluates images
+        ``rank::world_size`` of the set and the metric sums reduce via
+        ``process_allgather`` (the same collective the video validation
+        uses), so eval wall time scales with the host count and every
+        process ends with the full-set averages in ``metric_results``.
+        Forwards stay process-local (``_prepare_eval_variables``), so
+        unequal shard sizes cannot deadlock a global SPMD program.
+        """
+        sums = self._validate_images(
+            dataloader, current_iter, save_img,
+            rank=self.opt['rank'], world=self.opt['world_size'])
+        from jax.experimental import multihost_utils
+        sums = np.asarray(
+            multihost_utils.process_allgather(sums)).sum(axis=0)
+        self._finalize_validation(sums, dataloader.dataset.opt['name'],
+                                  current_iter, tb_logger,
+                                  log=self.opt['rank'] == 0)
+
     def nondist_validation(self, dataloader, current_iter, tb_logger,
                            save_img):
         """CUFED5-style validation: un-pad, PSNR (RGB), PSNR_Y, SSIM_Y at
         crop_border (reference :316-387)."""
-        logger = get_root_logger()
-        avg_psnr = avg_psnr_y = avg_ssim_y = 0.
+        sums = self._validate_images(dataloader, current_iter, save_img)
+        self._finalize_validation(sums, dataloader.dataset.opt['name'],
+                                  current_iter, tb_logger)
+
+    def _validate_images(self, dataloader, current_iter, save_img,
+                         rank=0, world=1):
+        """Evaluate images ``rank::world`` of the loader; return metric
+        sums ``[psnr, psnr_y, ssim_y, count]`` (float64)."""
+        sum_psnr = sum_psnr_y = sum_ssim_y = 0.
+        n = 0
         dataset_name = dataloader.dataset.opt['name']
-        idx = -1
         for idx, val_data in enumerate(dataloader):
+            if idx % world != rank:
+                continue
             lq_path = val_data['lq_path'][0] if isinstance(
                 val_data['lq_path'], list) else val_data['lq_path']
             img_name = osp.splitext(osp.basename(lq_path))[0]
@@ -811,27 +844,32 @@ class MultiRefRestorationModel(BaseModel):
                 imwrite(sr_img, save_img_path)
 
             crop_border = self.opt['crop_border']
-            avg_psnr += calculate_psnr(sr_img, gt_img,
+            sum_psnr += calculate_psnr(sr_img, gt_img,
                                        crop_border=crop_border,
                                        test_y_channel=False)
-            avg_psnr_y += calculate_psnr(sr_img, gt_img,
+            sum_psnr_y += calculate_psnr(sr_img, gt_img,
                                          crop_border=crop_border,
                                          test_y_channel=True)
-            avg_ssim_y += calculate_ssim(sr_img, gt_img,
+            sum_ssim_y += calculate_ssim(sr_img, gt_img,
                                          crop_border=crop_border,
                                          test_y_channel=True)
+            n += 1
+        return np.asarray([sum_psnr, sum_psnr_y, sum_ssim_y, n],
+                          np.float64)
 
-        if idx < 0:
+    def _finalize_validation(self, sums, dataset_name, current_iter,
+                             tb_logger, log=True):
+        if sums[3] <= 0:
             return
-        avg_psnr /= (idx + 1)
-        avg_psnr_y /= (idx + 1)
-        avg_ssim_y /= (idx + 1)
+        avg_psnr, avg_psnr_y, avg_ssim_y = (sums[:3] / sums[3]).tolist()
         self.metric_results = {'psnr': avg_psnr, 'psnr_y': avg_psnr_y,
                                'ssim_y': avg_ssim_y}
-
-        logger.info(f'# Validation {dataset_name} # PSNR: {avg_psnr:.4e} '
-                    f'# PSNR_Y: {avg_psnr_y:.4e} '
-                    f'# SSIM_Y: {avg_ssim_y:.4e}.')
+        if not log:
+            return
+        get_root_logger().info(
+            f'# Validation {dataset_name} # PSNR: {avg_psnr:.4e} '
+            f'# PSNR_Y: {avg_psnr_y:.4e} '
+            f'# SSIM_Y: {avg_ssim_y:.4e}.')
         if tb_logger:
             tb_logger.add_scalar('psnr', avg_psnr, current_iter)
             tb_logger.add_scalar('psnr_y', avg_psnr_y, current_iter)

@@ -108,6 +108,53 @@ def main():
     report['reduced_metrics'] = np.asarray(
         holder.metric_results['folder']).tolist()
 
+    # ---- image-sharded Ref/MultiRef dist_validation (beyond the
+    # reference's rank-0-only CUFED5 eval): idx rank::world per process,
+    # allgather-summed sums -> identical full-set averages everywhere.
+    # The heavy eval forward is stubbed (covered by the eval-parity
+    # tests); this exercises the sharding + reduction + finalize logic.
+    from mrefsr_tpu.models.multi_ref_restoration_model import \
+        MultiRefRestorationModel
+    m = MultiRefRestorationModel.__new__(MultiRefRestorationModel)
+    m.opt = {'is_train': False, 'rank': rank, 'world_size': world,
+             'dist': True, 'crop_border': 0, 'name': 'mp',
+             'path': {'visualization': '/tmp/mp_vis'}}
+    rng_val = np.random.RandomState(0)  # identical across ranks
+    images = []
+    for i in range(5):  # odd count: unequal shards must not deadlock
+        gt = rng_val.rand(1, 16, 16, 3).astype(np.float32)
+        noise = (rng_val.rand(1, 16, 16, 3) * (0.02 + 0.02 * i)) \
+            .astype(np.float32)
+        images.append({'lq_path': [f'im_{i}.png'],
+                       'gt': gt,
+                       'rlt': np.clip(gt + noise, 0., 1.)})
+    evaluated = []
+
+    def fake_feed(d):
+        evaluated.append(d['lq_path'][0])
+        m._vd = d
+
+    m.feed_data = fake_feed
+    m.test = lambda: None
+    m.get_current_visuals = lambda: {'rlt': m._vd['rlt'],
+                                     'gt': m._vd['gt']}
+
+    class FakeLoader:
+        dataset = types.SimpleNamespace(opt={'name': 'synthval'})
+
+        def __iter__(self):
+            return iter(images)
+
+    loader = FakeLoader()
+    m.dist_validation(loader, current_iter=1, tb_logger=None,
+                      save_img=False)
+    report['mref_dist_metrics'] = dict(m.metric_results)
+    report['mref_evaluated'] = list(evaluated)
+    # single-process full-set oracle (same images on every rank)
+    evaluated.clear()
+    sums = m._validate_images(loader, 1, False)
+    report['mref_fullset_avg'] = (sums[:3] / sums[3]).tolist()
+
     print('REPORT ' + json.dumps(report), flush=True)
 
 

@@ -116,3 +116,21 @@ def test_metric_reduction_sums_over_hosts(reports):
     for rep in reports.values():
         got = np.asarray(rep['reduced_metrics'])
         np.testing.assert_allclose(got, np.full((3, 2), 3.0))
+
+
+def test_mref_dist_validation_shards_and_reduces(reports):
+    """Image-sharded Ref/MultiRef dist_validation: disjoint covering
+    shards (odd count -> unequal sizes), and every process ends with
+    the same full-set averages a single-process eval computes."""
+    ev0, ev1 = (reports[r]['mref_evaluated'] for r in (0, 1))
+    assert ev0 == [f'im_{i}.png' for i in range(0, 5, 2)]
+    assert ev1 == [f'im_{i}.png' for i in range(1, 5, 2)]
+    full = np.asarray(reports[0]['mref_fullset_avg'])
+    np.testing.assert_allclose(np.asarray(reports[1]['mref_fullset_avg']),
+                               full)
+    for rep in reports.values():
+        got = rep['mref_dist_metrics']
+        # process_allgather rides f32 device arrays, so the reduced
+        # sums carry ~1e-7 relative rounding vs the f64 oracle
+        np.testing.assert_allclose(
+            [got['psnr'], got['psnr_y'], got['ssim_y']], full, rtol=1e-5)
