@@ -780,6 +780,11 @@ class MultiRefRestorationModel(BaseModel):
         process ends with the full-set averages in ``metric_results``.
         Forwards stay process-local (``_prepare_eval_variables``), so
         unequal shard sizes cannot deadlock a global SPMD program.
+
+        The reduced sums ride f32 device arrays through the collective
+        (x64 stays off), so dist-reported averages can differ from a
+        single-process run by ~1e-7 relative — below the 5 significant
+        digits the validation log prints.
         """
         sums = self._validate_images(
             dataloader, current_iter, save_img,
@@ -802,13 +807,27 @@ class MultiRefRestorationModel(BaseModel):
     def _validate_images(self, dataloader, current_iter, save_img,
                          rank=0, world=1):
         """Evaluate images ``rank::world`` of the loader; return metric
-        sums ``[psnr, psnr_y, ssim_y, count]`` (float64)."""
+        sums ``[psnr, psnr_y, ssim_y, count]`` (float64).
+
+        Sharded runs index the DATASET directly (the video validation's
+        idiom, video_base_model.py): iterating the full loader and
+        skipping foreign indices would still decode every image on
+        every process, replicating the host-side work world times and
+        defeating the wall-time scaling on decode-bound sets.
+        """
         sum_psnr = sum_psnr_y = sum_ssim_y = 0.
         n = 0
         dataset_name = dataloader.dataset.opt['name']
-        for idx, val_data in enumerate(dataloader):
-            if idx % world != rank:
-                continue
+        if world > 1:
+            from mrefsr_tpu.data.loader import default_collate
+            dataset = dataloader.dataset
+            collate = getattr(dataloader, 'collate_fn', None) \
+                or default_collate
+            batches = (collate([dataset[i]])
+                       for i in range(rank, len(dataset), world))
+        else:
+            batches = dataloader
+        for val_data in batches:
             lq_path = val_data['lq_path'][0] if isinstance(
                 val_data['lq_path'], list) else val_data['lq_path']
             img_name = osp.splitext(osp.basename(lq_path))[0]

@@ -120,14 +120,14 @@ def main():
              'dist': True, 'crop_border': 0, 'name': 'mp',
              'path': {'visualization': '/tmp/mp_vis'}}
     rng_val = np.random.RandomState(0)  # identical across ranks
-    images = []
+    items = []  # UNbatched samples, as a real dataset returns them
     for i in range(5):  # odd count: unequal shards must not deadlock
-        gt = rng_val.rand(1, 16, 16, 3).astype(np.float32)
-        noise = (rng_val.rand(1, 16, 16, 3) * (0.02 + 0.02 * i)) \
+        gt = rng_val.rand(16, 16, 3).astype(np.float32)
+        noise = (rng_val.rand(16, 16, 3) * (0.02 + 0.02 * i)) \
             .astype(np.float32)
-        images.append({'lq_path': [f'im_{i}.png'],
-                       'gt': gt,
-                       'rlt': np.clip(gt + noise, 0., 1.)})
+        items.append({'lq_path': f'im_{i}.png',
+                      'gt': gt,
+                      'rlt': np.clip(gt + noise, 0., 1.)})
     evaluated = []
 
     def fake_feed(d):
@@ -139,17 +139,33 @@ def main():
     m.get_current_visuals = lambda: {'rlt': m._vd['rlt'],
                                      'gt': m._vd['gt']}
 
+    class FakeDataset:
+        """Indexable like a real val dataset; counts decodes so the
+        test can assert sharded loading (not just sharded forwards)."""
+        opt = {'name': 'synthval'}
+
+        def __len__(self):
+            return len(items)
+
+        def __getitem__(self, i):
+            decoded.append(i)
+            return dict(items[i])
+
     class FakeLoader:
-        dataset = types.SimpleNamespace(opt={'name': 'synthval'})
+        dataset = FakeDataset()
 
         def __iter__(self):
-            return iter(images)
+            from mrefsr_tpu.data.loader import default_collate
+            return (default_collate([self.dataset[i]])
+                    for i in range(len(items)))
 
+    decoded = []
     loader = FakeLoader()
     m.dist_validation(loader, current_iter=1, tb_logger=None,
                       save_img=False)
     report['mref_dist_metrics'] = dict(m.metric_results)
     report['mref_evaluated'] = list(evaluated)
+    report['mref_decoded'] = list(decoded)  # sharded LOADING, not just eval
     # single-process full-set oracle (same images on every rank)
     evaluated.clear()
     sums = m._validate_images(loader, 1, False)

@@ -125,6 +125,10 @@ def test_mref_dist_validation_shards_and_reduces(reports):
     ev0, ev1 = (reports[r]['mref_evaluated'] for r in (0, 1))
     assert ev0 == [f'im_{i}.png' for i in range(0, 5, 2)]
     assert ev1 == [f'im_{i}.png' for i in range(1, 5, 2)]
+    # the DATASET reads shard too — a process must not decode images
+    # it does not evaluate (host-side work would replicate world times)
+    assert reports[0]['mref_decoded'] == [0, 2, 4]
+    assert reports[1]['mref_decoded'] == [1, 3]
     full = np.asarray(reports[0]['mref_fullset_avg'])
     np.testing.assert_allclose(np.asarray(reports[1]['mref_fullset_avg']),
                                full)
