@@ -224,3 +224,111 @@ def save_torch_checkpoint(path, params, batch_stats=None,
           for k, v in flax_to_torch(params, batch_stats,
                                     spectral=spectral).items()}
     torch.save({param_key: sd}, path)
+
+
+def dcn_to_flow_state_dict(sd, deform_groups=8, kernel_size=3):
+    """Warm-start a flow-alignment (FlowAgg) checkpoint from a
+    DCN-alignment (DynAgg) one, in the reference torch key layout.
+
+    Basis: the correspondence pre-offsets are tap-shifted copies of ONE
+    flow field (corres_generation_arch.py:28-36; reference
+    corres_generation_arch.py:73-78), so a DynAgg whose learned offset
+    residual is zero is EXACTLY a 3x3 conv over the flow-warped ref
+    (sample position p + k_t + flow = warp position of p + k_t when the
+    flow is locally constant) — which is FlowAgg's structure. The
+    mapping therefore:
+
+      * ``conv_flow_gate`` flow rows <- ``conv_offset_mask``'s
+        center-tap (t=4) offset rows per deform group (the center-tap
+        learned residual transfers to the flow residual);
+      * gate rows <- zero (gate == sigmoid(0) = 0.5), and the per-tap
+        mask-at-bias folds into the conv:
+        ``conv_after_warp.weight[o, ci, ky, kx] =
+        dyn.weight[...] * 2 * sigmoid(mask_bias[g, t])`` with
+        g = ci // cg, t = ky*K + kx (2x compensates the 0.5 gate);
+      * ``conv_after_warp.bias`` <- DynAgg bias;
+      * every other tensor passes through, ``*_dyn_agg`` keys renamed
+        ``*_flow_agg``.
+
+    Dropped (the expressivity delta between the parameterizations —
+    refine with fine-tuning): non-center-tap offset residuals, and the
+    feature-DEPENDENT part of the mask (only its bias is folded).
+
+    Exact when the learned offset residual is zero and the flow is
+    constant; at the zero-init state (re_init_dcn_offset semantics,
+    reference ref_mrapa_restoration_arch.py:114-121) both conditions
+    hold up to flow smoothness. Tested in
+    tests/test_utils/test_dcn_to_flow.py.
+
+    Args:
+        sd: reference-layout state dict (torch tensors or numpy),
+            containing ``<base>_dyn_agg.{weight,bias,
+            conv_offset_mask.weight,conv_offset_mask.bias}`` groups.
+    Returns:
+        New dict of the same value type, FlowAgg-layout keys.
+    """
+    import numpy as _np
+    k2 = kernel_size * kernel_size
+    dg = deform_groups
+    center = (kernel_size // 2) * kernel_size + kernel_size // 2
+
+    def _np_of(v):
+        return v.detach().cpu().numpy() if hasattr(v, 'detach') else \
+            _np.asarray(v)
+
+    def _like(arr, ref_val):
+        if hasattr(ref_val, 'detach'):
+            import torch
+            return torch.from_numpy(_np.ascontiguousarray(arr))
+        return arr
+
+    bases = sorted({key[:-len('.conv_offset_mask.weight')]
+                    for key in sd
+                    if key.endswith('_dyn_agg.conv_offset_mask.weight')})
+    out = {}
+    converted = set()
+    for base in bases:
+        w_om = _np_of(sd[f'{base}.conv_offset_mask.weight'])
+        b_om = _np_of(sd[f'{base}.conv_offset_mask.bias'])
+        w_dyn = _np_of(sd[f'{base}.weight'])
+        b_dyn = _np_of(sd[f'{base}.bias'])
+        assert w_om.shape[0] == 3 * dg * k2, (
+            f'{base}: conv_offset_mask out={w_om.shape[0]} != '
+            f'3*dg*K={3 * dg * k2}')
+        cin = w_dyn.shape[1]
+        assert cin % dg == 0
+        cg = cin // dg
+
+        # flow/gate head: (dg*3) out rows
+        w_fg = _np.zeros((dg * 3,) + w_om.shape[1:], w_om.dtype)
+        b_fg = _np.zeros((dg * 3,), b_om.dtype)
+        for g in range(dg):
+            for j in range(2):  # (dy, dx)
+                src = g * 2 * k2 + 2 * center + j
+                w_fg[2 * g + j] = w_om[src]
+                b_fg[2 * g + j] = b_om[src]
+        # gate rows stay zero: gate == 0.5 everywhere
+
+        # fold sigmoid(mask bias) per (group, tap) into the conv
+        mask_bias = b_om[2 * dg * k2:].reshape(dg, k2)
+        m_hat = 1.0 / (1.0 + _np.exp(-mask_bias))  # (dg, K)
+        scale = _np.repeat(2.0 * m_hat, cg, axis=0)  # (cin, K)
+        scale = scale.reshape(cin, kernel_size, kernel_size)
+        w_cv = (w_dyn * scale[None]).astype(w_dyn.dtype)
+
+        flow_base = base.replace('_dyn_agg', '_flow_agg')
+        ref_val = sd[f'{base}.weight']
+        out[f'{flow_base}.conv_flow_gate.weight'] = _like(w_fg, ref_val)
+        out[f'{flow_base}.conv_flow_gate.bias'] = _like(b_fg, ref_val)
+        out[f'{flow_base}.conv_after_warp.weight'] = _like(w_cv, ref_val)
+        out[f'{flow_base}.conv_after_warp.bias'] = _like(
+            b_dyn.copy(), ref_val)
+        converted.update({f'{base}.conv_offset_mask.weight',
+                          f'{base}.conv_offset_mask.bias',
+                          f'{base}.weight', f'{base}.bias'})
+
+    for key, val in sd.items():
+        if key not in converted:
+            assert '_dyn_agg' not in key, f'unmapped DynAgg key {key}'
+            out[key] = val
+    return out

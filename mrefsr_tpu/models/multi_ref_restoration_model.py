@@ -785,6 +785,13 @@ class MultiRefRestorationModel(BaseModel):
         (x64 stays off), so dist-reported averages can differ from a
         single-process run by ~1e-7 relative — below the 5 significant
         digits the validation log prints.
+
+        ``save_img`` writes are sharded the same way: each process
+        writes ITS images to its local visualization dir (the write
+        cost scales with the hosts too). On a multi-host pod no single
+        filesystem ends up with the full set — collect the per-host
+        dirs after the run if one location is needed (the reference
+        wrote everything from rank 0 while the other GPUs idled).
         """
         sums = self._validate_images(
             dataloader, current_iter, save_img,
@@ -821,6 +828,14 @@ class MultiRefRestorationModel(BaseModel):
         if world > 1:
             from mrefsr_tpu.data.loader import default_collate
             dataset = dataloader.dataset
+            # direct dataset indexing assumes the loader applies no
+            # sharding/batching of its own (build_dataloader always
+            # makes val loaders batch-1 with no sampler); a future val
+            # sampler would double-shard silently without this guard
+            assert getattr(dataloader, 'sampler', None) is None and \
+                getattr(dataloader, 'batch_size', 1) in (None, 1), (
+                'dist validation shards by indexing the dataset '
+                'directly; it cannot honor a val sampler or batch_size')
             collate = getattr(dataloader, 'collate_fn', None) \
                 or default_collate
             batches = (collate([dataset[i]])
