@@ -58,7 +58,11 @@ import time
 import numpy as np
 
 # Derived reference baseline (see module docstring + BASELINE.md):
-REF_STEP_TFLOP_PER_IMAGE = 0.995   # measured, count_flops.py @ gt=160
+# step TFLOP/image MEASURED via count_flops.py per gt_size (the lp
+# large-patch config trains at gt=300; correlation FLOPs scale with
+# area^2, convs with area, so the ratio is not a simple square)
+REF_STEP_TFLOP_PER_IMAGE_BY_GT = {160: 0.995, 300: 4.130}
+REF_STEP_TFLOP_PER_IMAGE = REF_STEP_TFLOP_PER_IMAGE_BY_GT[160]
 REF_GPU_ACHIEVED_TFLOPS = 9.8      # V100 f32 conv-training achieved
 REF_IMGS_PER_SEC_PER_GPU = round(
     REF_GPU_ACHIEVED_TFLOPS / REF_STEP_TFLOP_PER_IMAGE, 2)  # 9.85
@@ -256,6 +260,9 @@ def main():
     # dcn_outer_remat too: b4 8.76, b6 8.37, b8 9.44, b12 8.91)
     per_chip_batch = int(os.environ.get('BENCH_BATCH', '8'))
     gt = int(os.environ.get('BENCH_GT_SIZE', '160'))
+    # 'pix' (default, the driver metric) or 'gan': the WGAN-GP phase
+    # wave (D step every iter + G step on its alternation schedule)
+    phase = os.environ.get('BENCH_PHASE', 'pix')
     t = 5
     b = per_chip_batch * n_devices
 
@@ -300,6 +307,16 @@ def main():
             'mixed_precision': os.environ.get('BENCH_MP', 'bfloat16') or None,
         },
     }
+    if phase == 'gan':
+        # stage3 GAN-phase shape: SRNTT ImageDiscriminator + WGAN-GP
+        # (reference multi_ref_restoration_model.py:197-279)
+        opt['network_d'] = {'type': 'ImageDiscriminator', 'in_nc': 3,
+                            'ndf': 32}
+        opt['train'].update({
+            'lr_d': 1e-4, 'weight_decay_d': 0, 'beta_d': [0.9, 0.999],
+            'gan_type': 'wgan', 'gan_weight': 1e-5,
+            'grad_penalty_weight': 10.0, 'net_g_pretrain_steps': 0,
+        })
     _hb('building model...')
     model = build_model(opt)
 
@@ -314,9 +331,12 @@ def main():
     # init params (lazy, shape-driven) and build the step WITHOUT
     # compiling the single-step jit — only the scanned variant below is
     # compiled (each full-graph compile costs minutes on a cold cache)
-    _hb(f'initializing params (b={b}, gt={gt}, t={t})...')
+    _hb(f'initializing params (b={b}, gt={gt}, t={t}, phase={phase})...')
     model.feed_data(batch)
-    model._train_step_pix = model._build_train_step_pix()
+    if phase == 'gan':
+        model._train_step_gan = model._build_train_step_gan()
+    else:
+        model._train_step_pix = model._build_train_step_pix()
 
     # measure N real optimizer steps fused into ONE dispatch: a jitted
     # lax.scan threads (params, opt state, iter) through the steps, the
@@ -330,24 +350,58 @@ def main():
     refs = jax.device_put(model.img_ref_list, sharding)
     lq = jax.device_put(model.img_in_lq, sharding)
     gt_dev = jax.device_put(model.gt, sharding)
-    raw_step = model._train_step_pix_raw
-
-    def run_steps(length):
-        @jax.jit
-        def run(vars_g, opt_state, vars_ex, vars_map, mi, r, lq_, gt_):
-            def body(carry, idx):
-                vg, os_ = carry
-                vg, os_, losses = raw_step(vg, os_, vars_ex, vars_map,
-                                           mi, r, lq_, gt_, idx)
-                return (vg, os_), losses['l_pix']
-            (vg, os_), l = jax.lax.scan(
-                body, (vars_g, opt_state), jnp.arange(3, 3 + length))
-            return l[-1]
-        return run
-
-    args = (model.vars_g, model.opt_state_g, model.vars_extractor,
-            model.vars_map, match_img_in, refs, lq, gt_dev)
     n_steps = max(2, int(os.environ.get('BENCH_STEPS', '16')))
+
+    if phase == 'gan':
+        # the GAN wave exactly as _optimize_gan_wave scans it: D every
+        # step, G on the alternation schedule, host-drawn rng keys
+        raw_gan = model._train_step_gan_raw
+        d_steps = model.net_d_steps
+        init_steps = model.net_d_init_steps
+        rngs = jnp.stack([model.next_rng() for _ in range(n_steps)])
+
+        def run_steps(length):
+            @jax.jit
+            def run(vars_g, vars_d, opt_g, opt_d, vars_ex, vars_map,
+                    mi, r, lq_, gt_, rngs_):
+                def body(carry, xs):
+                    vg, vd, og, od = carry
+                    rng_, idx = xs
+                    g_turn = jnp.logical_and(idx % d_steps == 0,
+                                             idx > init_steps)
+                    vg, vd, og, od, losses = raw_gan(
+                        vg, vd, og, od, vars_ex, vars_map,
+                        mi, r, lq_, gt_, rng_, g_turn)
+                    return (vg, vd, og, od), losses['l_d_real']
+                carry, l = jax.lax.scan(
+                    body, (vars_g, vars_d, opt_g, opt_d),
+                    (rngs_[:length], jnp.arange(3, 3 + length)))
+                return l[-1]
+            return run
+
+        args = (model.vars_g, model.vars_d, model.opt_state_g,
+                model.opt_state_d, model.vars_extractor, model.vars_map,
+                match_img_in, refs, lq, gt_dev, rngs)
+    else:
+        raw_step = model._train_step_pix_raw
+
+        def run_steps(length):
+            @jax.jit
+            def run(vars_g, opt_state, vars_ex, vars_map, mi, r, lq_,
+                    gt_):
+                def body(carry, idx):
+                    vg, os_ = carry
+                    vg, os_, losses = raw_step(vg, os_, vars_ex,
+                                               vars_map, mi, r, lq_,
+                                               gt_, idx)
+                    return (vg, os_), losses['l_pix']
+                (vg, os_), l = jax.lax.scan(
+                    body, (vars_g, opt_state), jnp.arange(3, 3 + length))
+                return l[-1]
+            return run
+
+        args = (model.vars_g, model.opt_state_g, model.vars_extractor,
+                model.vars_map, match_img_in, refs, lq, gt_dev)
     run = run_steps(n_steps)
 
     _hb(f'compiling the {n_steps}-step fused scan '
@@ -375,13 +429,22 @@ def main():
     # under the driver)
     imgs_per_sec = b * n_steps / best
     imgs_per_sec_chip = imgs_per_sec / n_devices
-    _emit(round(imgs_per_sec_chip, 3),
-          round(imgs_per_sec_chip * TARGET_NUM_CHIPS /
-                (REF_IMGS_PER_SEC_PER_GPU * REF_NUM_GPUS), 3),
-          {'backend': backend, 'n_devices': n_devices,
-           'per_chip_batch': per_chip_batch, 'gt_size': gt,
-           'n_steps_per_dispatch': n_steps,
-           'compile_plus_first_run_s': round(t_compile, 1)})
+    # the derived per-GPU denominator models the PIXEL step at the
+    # benched gt_size (FLOPs measured per size — count_flops.py); the
+    # GAN phase has no derived reference rate, so vs_baseline is null
+    ref_tflop = REF_STEP_TFLOP_PER_IMAGE_BY_GT.get(gt)
+    vs_baseline = None
+    extra = {'backend': backend, 'n_devices': n_devices,
+             'per_chip_batch': per_chip_batch, 'gt_size': gt,
+             'phase': phase, 'n_steps_per_dispatch': n_steps,
+             'compile_plus_first_run_s': round(t_compile, 1)}
+    if phase == 'pix' and ref_tflop is not None:
+        ref_rate = REF_GPU_ACHIEVED_TFLOPS / ref_tflop
+        vs_baseline = round(imgs_per_sec_chip * TARGET_NUM_CHIPS /
+                            (ref_rate * REF_NUM_GPUS), 3)
+        extra['baseline_imgs_per_sec_per_gpu'] = round(ref_rate, 2)
+        extra['baseline_step_tflop_per_image'] = ref_tflop
+    _emit(round(imgs_per_sec_chip, 3), vs_baseline, extra)
 
 
 if __name__ == '__main__':

@@ -328,7 +328,11 @@ def random_add_jpg_compression(img, quality_range=(90, 100)):
 # fully jit-traceable (static shapes, no host sync) so RealESRGAN-style
 # on-device degradation fuses into the train step.
 
-_GRAY_COEFF = jnp.asarray([0.2989, 0.587, 0.114])  # torchvision weights
+# torchvision grayscale weights. Plain numpy ON PURPOSE: a module-level
+# jnp constant initializes the XLA backend at import time, which breaks
+# jax.distributed.initialize() in multi-process CLI launches (it must
+# run before ANY backend use; tests/test_parallel/test_train_cli_dist.py)
+_GRAY_COEFF = np.asarray([0.2989, 0.587, 0.114], np.float32)
 
 
 def _per_sample(x, b):
@@ -420,7 +424,8 @@ def generate_poisson_noise_jax(key, img, scale=1.0, gray_noise=0,
     out = jax.random.poisson(kc, img_q * vals).astype(img.dtype) / vals
     noise = out - img_q
 
-    img_gray = jnp.sum(img * _GRAY_COEFF, axis=-1, keepdims=True)
+    img_gray = jnp.sum(img * jnp.asarray(_GRAY_COEFF), axis=-1,
+                       keepdims=True)
     img_gray = jnp.clip(jnp.round(img_gray * 255.0), 0, 255) / 255.
     vals_g = _unique_vals(img_gray, valid_mask)
     out_g = jax.random.poisson(kg, img_gray * vals_g).astype(

@@ -24,10 +24,26 @@ def get_data_mesh(num_devices=None):
     so a rebuild never changes an existing model's sharding."""
     global _mesh
     devices = jax.devices()
+    nproc = jax.process_count()
     # falsy (None / 0 / 'auto'-resolved absent) means ALL devices — an
     # empty mesh is never meaningful
-    want = len(devices) if not num_devices \
-        else min(int(num_devices), len(devices))
+    if not num_devices:
+        want = len(devices)
+    elif nproc > 1:
+        # multi-process: ``num_gpu`` counts chips PER PROCESS (the
+        # yml's "chips of the local mesh" semantics) and the global
+        # mesh must span every process's chips — truncating the global
+        # device list would leave some process with no addressable
+        # shard (make_array_from_process_local_data then fails)
+        if int(num_devices) != jax.local_device_count():
+            raise ValueError(
+                f'num_gpu={num_devices} != local device count '
+                f'{jax.local_device_count()} in a {nproc}-process run; '
+                'per-process mesh truncation is not supported — set '
+                'num_gpu to the per-process chip count (or omit it)')
+        want = len(devices)
+    else:
+        want = min(int(num_devices), len(devices))
     if _mesh is None or _mesh.devices.size != want:
         _mesh = Mesh(np.array(devices[:want]), ('data',))
     return _mesh
