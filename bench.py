@@ -61,7 +61,7 @@ import numpy as np
 # step TFLOP/image MEASURED via count_flops.py per gt_size (the lp
 # large-patch config trains at gt=300; correlation FLOPs scale with
 # area^2, convs with area, so the ratio is not a simple square)
-REF_STEP_TFLOP_PER_IMAGE_BY_GT = {160: 0.995, 300: 4.130}
+REF_STEP_TFLOP_PER_IMAGE_BY_GT = {160: 0.995, 300: 3.570}
 REF_STEP_TFLOP_PER_IMAGE = REF_STEP_TFLOP_PER_IMAGE_BY_GT[160]
 REF_GPU_ACHIEVED_TFLOPS = 9.8      # V100 f32 conv-training achieved
 REF_IMGS_PER_SEC_PER_GPU = round(

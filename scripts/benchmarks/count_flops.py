@@ -58,7 +58,9 @@ def main():
         'scale': 4, 'crop_border': 4, 'num_gpu': 1, 'manual_seed': 0,
         'is_train': True, 'dist': False, 'rank': 0, 'world_size': 1,
         'network_g': {'type': 'MRAPARestorationNet', 'ngf': 64,
-                      'n_blocks': 16, 'groups': 8},
+                      'n_blocks': 16, 'groups': 8,
+                      'alignment': os.environ.get(
+                          'BENCH_ALIGNMENT', 'dcn')},
         'network_map': {'type': 'CorrespondenceGenerationArch',
                         'patch_size': 3, 'stride': 1,
                         'vgg_layer_list': ['relu1_1', 'relu2_1',

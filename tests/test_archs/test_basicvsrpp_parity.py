@@ -105,6 +105,7 @@ def ref_vsrpp():
     return mod
 
 
+@pytest.mark.slow  # ~50s compile-heavy parity (r4 suite rebalance)
 def test_basicvsrpp_parity(ref_vsrpp):
     torch.manual_seed(0)
     # force the "CUDA available" branch so alignment modules are built

@@ -79,6 +79,8 @@ def _flow_net_inputs(rng, b=1, t=2, h=4, w=6):
     return x, pre_offset, ref_feat
 
 
+@pytest.mark.slow  # ~55s full-net fwd+grad; FlowAgg also covered by
+# the fast deform_sample tests + the dcn_to_flow exactness test
 def test_mrapa_flow_alignment_forward_and_grad():
     net = build_network({'type': 'MRAPARestorationNet', 'ngf': 8,
                          'n_blocks': 1, 'groups': 4, 'alignment': 'flow'})

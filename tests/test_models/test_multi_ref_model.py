@@ -223,6 +223,7 @@ def test_wave_dispatch_matches_per_step():
     assert np.isfinite(m_wave.log_dict['l_pix'])
 
 
+@pytest.mark.slow  # ~90s: heaviest default-suite entry (r4 rebalance)
 def test_wave_with_device_batches_matches_host():
     """Device-resident batches (BackgroundDevicePrefetcher output:
     uint8 shipped, astype(f32)/255. applied on device) must produce the
