@@ -39,8 +39,9 @@ def main():
     # reported img/s scales by the batch
     b = int(os.environ.get('BENCH_EVAL_BATCH', '1'))
 
-    extractor, net_map, net_g = ge._flagship(ngf=64, n_blocks=16,
-                                             groups=8)
+    extractor, net_map, net_g = ge._flagship(
+        ngf=64, n_blocks=16, groups=8,
+        alignment=os.environ.get('BENCH_ALIGNMENT', 'dcn'))
     rng = np.random.RandomState(0)
     match_img = jnp.asarray(
         rng.rand(b, gt_h, gt_w, 3).astype(np.float32))
