@@ -88,8 +88,10 @@ def _emit(value, vs_baseline, extra=None):
         'vs_baseline': vs_baseline,
         'baseline_estimated': True,
         'baseline_basis': 'derived',
-        'baseline_imgs_per_sec_per_gpu': REF_IMGS_PER_SEC_PER_GPU,
-        'baseline_step_tflop_per_image': REF_STEP_TFLOP_PER_IMAGE,
+        # per-run baseline_imgs_per_sec_per_gpu / step_tflop fields are
+        # set by the caller ONLY when they describe the measured run
+        # (pixel phase at a gt with a measured FLOP count) — a GAN or
+        # unlisted-gt record must not carry the gt=160 pixel constants
         'baseline_gpu_achieved_tflops': REF_GPU_ACHIEVED_TFLOPS,
         'baseline_gpu_model': 'V100-f32 (see BASELINE.md)',
     }
@@ -263,6 +265,8 @@ def main():
     # 'pix' (default, the driver metric) or 'gan': the WGAN-GP phase
     # wave (D step every iter + G step on its alternation schedule)
     phase = os.environ.get('BENCH_PHASE', 'pix')
+    if phase not in ('pix', 'gan'):
+        _fail(f"BENCH_PHASE must be 'pix' or 'gan', got {phase!r}")
     t = 5
     b = per_chip_batch * n_devices
 

@@ -203,6 +203,12 @@ def main_correlated(args):
     # coverage (<=6% of 258) plus rounding; match_point_crop clamps as
     # a final backstop
     margin = args.gt_size // 2 + args.jitter + 40 + spread
+    if args.min_size < 2 * margin:
+        raise SystemExit(
+            f'--correlated needs every view to cover world-center '
+            f'+-{margin}px (gt-size/2 + jitter + slack + spread): '
+            f'raise --min-size to >= {2 * margin} (got '
+            f'{args.min_size}) or lower --gt-size/--jitter')
 
     rows = []
     for s in range(args.scenes):
@@ -264,6 +270,11 @@ def write_cufed_val(args):
     gt = args.cufed_size
     margin = gt // 2 + args.jitter + 24
     world_size = args.max_size + 400
+    if args.min_size < 2 * margin:
+        raise SystemExit(
+            f'--cufed-out needs --min-size >= {2 * margin} for '
+            f'--cufed-size {gt} (views must cover the shared match '
+            f'region)')
     for i in range(args.cufed_samples):
         world = _make_photo(rng, world_size, world_size, texture=0.12)
         views = _make_views(rng, world, 6, args.min_size, args.max_size,
