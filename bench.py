@@ -440,7 +440,9 @@ def main():
     vs_baseline = None
     extra = {'backend': backend, 'n_devices': n_devices,
              'per_chip_batch': per_chip_batch, 'gt_size': gt,
-             'phase': phase, 'n_steps_per_dispatch': n_steps,
+             'phase': phase,
+             'alignment': opt['network_g']['alignment'],
+             'n_steps_per_dispatch': n_steps,
              'compile_plus_first_run_s': round(t_compile, 1)}
     if phase == 'pix' and ref_tflop is not None:
         ref_rate = REF_GPU_ACHIEVED_TFLOPS / ref_tflop
