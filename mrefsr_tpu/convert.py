@@ -254,10 +254,18 @@ def dcn_to_flow_state_dict(sd, deform_groups=8, kernel_size=3):
     refine with fine-tuning): non-center-tap offset residuals, and the
     feature-DEPENDENT part of the mask (only its bias is folded).
 
-    Exact when the learned offset residual is zero and the flow is
-    constant; at the zero-init state (re_init_dcn_offset semantics,
-    reference ref_mrapa_restoration_arch.py:114-121) both conditions
-    hold up to flow smoothness. Tested in
+    Exact for INTERIOR pixels when the learned offset residual is zero
+    and the flow is constant; at the zero-init state
+    (re_init_dcn_offset semantics, reference
+    ref_mrapa_restoration_arch.py:114-121) both conditions hold up to
+    flow smoothness. The image border band (1 px plus the flow's
+    reach) differs by construction: DynAgg bilinear-samples x directly
+    at p + tap + flow (in-bounds even when p + tap alone is off-grid),
+    while the converted FlowAgg warps first and then zero-pads the
+    3x3 conv over the warped grid, so off-grid taps read 0 instead of
+    the flow-displaced sample. Fine-tuning absorbs the band quickly
+    (measured warm-start cost -0.057 dB full-image). Tested — with the
+    interior/border split asserted at module level — in
     tests/test_utils/test_dcn_to_flow.py.
 
     Args:

@@ -46,6 +46,11 @@ def main():
         for k in keys:
             out[k] = dcn_to_flow_state_dict(
                 ckpt[k], deform_groups=args.deform_groups)
+        # keep non-param top-level keys (iter counters, metadata, ...)
+        # so converted checkpoints stay resume-complete
+        for k, v in ckpt.items():
+            if k not in keys:
+                out[k] = v
     torch.save(out, args.output)
     n = len(out[keys[0]]) if keys else len(out)
     print(f'converted {n} tensors -> {args.output}')

@@ -87,6 +87,62 @@ def test_warm_start_exact_on_constant_flow():
     np.testing.assert_allclose(out_f, out_d, rtol=2e-4, atol=2e-4)
 
 
+def test_module_level_interior_exact_border_differs():
+    """DynAgg vs converted FlowAgg at MODULE level, constant flow
+    (1.7, 1.7): the conversion is exact only for INTERIOR pixels. The
+    1-px border band differs by construction — DynAgg bilinear-samples
+    x directly at p + tap + flow (in-bounds even when p + tap alone is
+    off-grid), while converted FlowAgg warps first and zero-pads the
+    3x3 conv over the warped grid, so off-grid taps read 0 instead of
+    the flow-displaced sample. The full-net tests cannot see this
+    (small-init downstream convs attenuate the band); assert the split
+    explicitly here so the documented exactness bound stays honest."""
+    from mrefsr_tpu.archs.ref_mrapa_restoration_arch import DynAgg, \
+        FlowAgg
+    rng = np.random.RandomState(4)
+    cin, cout, h, w = 8, 8, 12, 16
+    net_d = DynAgg(in_channels=cin, out_channels=cout,
+                   deform_groups=DG)
+    net_f = FlowAgg(in_channels=cin, out_channels=cout,
+                    deform_groups=DG)
+    x = jnp.asarray(rng.randn(1, h, w, cin), jnp.float32)
+    feat = jnp.asarray(rng.randn(1, h, w, cin), jnp.float32)
+    flow = (1.7, 1.7)  # (x, y), constant over space and taps
+    po = np.broadcast_to(np.asarray(flow, np.float32),
+                         (1, h, w, K2, 2))
+    po = jnp.asarray(po)
+
+    vars_d = jax.device_get(net_d.init(jax.random.PRNGKey(0), x, feat,
+                                       po))
+    # random mask biases exercise the sigmoid fold; offset rows stay
+    # zero (residual-free — the module-level exactness condition)
+    params_d = vars_d['params']
+    bias = np.zeros(3 * DG * K2, np.float32)
+    bias[2 * DG * K2:] = rng.randn(DG * K2).astype(np.float32)
+    params_d['conv_offset_mask']['bias'] = jnp.asarray(bias)
+
+    sd = flax_to_torch({'m_dyn_agg': params_d})
+    sd_f = dcn_to_flow_state_dict(sd, deform_groups=DG)
+    tree = torch_to_flax(sd_f)
+    vars_f = {'params': jax.tree_util.tree_map(
+        jnp.asarray, tree['params']['m_flow_agg'])}
+
+    out_d = np.asarray(net_d.apply({'params': params_d}, x, feat, po))
+    out_f = np.asarray(net_f.apply(vars_f, x, feat, po))
+
+    diff = np.abs(out_f - out_d)[0]  # (h, w, cout)
+    interior = diff[1:-1, 1:-1]
+    border = np.concatenate([diff[0].ravel(), diff[-1].ravel(),
+                             diff[:, 0].ravel(), diff[:, -1].ravel()])
+    # interior: exact (fp32 sampling + conv noise only)
+    assert interior.max() < 1e-4, interior.max()
+    # border: genuinely different — off-grid taps see 0 vs the
+    # flow-displaced sample. If this starts passing at interior
+    # tolerance, the ops' padding semantics changed: re-derive the
+    # converter's exactness claim.
+    assert border.max() > 1e-2, border.max()
+
+
 def test_warm_start_close_on_smooth_flow():
     """Tap-shifted copies of a smooth flow: conversion is exact only to
     O(grad flow); it must still track the DCN model far better than an
@@ -196,7 +252,7 @@ def test_cli_script(tmp_path):
           torch.randn(16, 16, 3, 3),
           'dyn_agg_restore.large_dyn_agg.bias': torch.randn(16),
           'content_extractor.conv_first.weight': torch.randn(4, 3, 3, 3)}
-    torch.save({'params': sd}, tmp_path / 'dcn.pth')
+    torch.save({'params': sd, 'iter': 42}, tmp_path / 'dcn.pth')
     proc = subprocess.run(
         [sys.executable,
          'scripts/model_conversion/convert_dcn_to_flow.py',
@@ -204,6 +260,8 @@ def test_cli_script(tmp_path):
          '--output', str(tmp_path / 'flow.pth')],
         cwd='/root/repo', capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    out = torch.load(tmp_path / 'flow.pth', weights_only=True)['params']
+    ckpt = torch.load(tmp_path / 'flow.pth', weights_only=True)
+    assert ckpt['iter'] == 42  # metadata keys pass through
+    out = ckpt['params']
     assert 'dyn_agg_restore.large_flow_agg.conv_after_warp.weight' in out
     assert not any('_dyn_agg' in k for k in out)
