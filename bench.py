@@ -63,6 +63,10 @@ import numpy as np
 # area^2, convs with area, so the ratio is not a simple square)
 REF_STEP_TFLOP_PER_IMAGE_BY_GT = {160: 0.995, 300: 3.570}
 REF_STEP_TFLOP_PER_IMAGE = REF_STEP_TFLOP_PER_IMAGE_BY_GT[160]
+# one WGAN-GP phase iteration (D update incl. GP double-backward + G
+# update, net_d_steps=1) — count_flops.py --phase gan; BASELINE.md
+# "GAN wave" derivation
+REF_GAN_STEP_TFLOP_PER_IMAGE_BY_GT = {160: 1.301}
 REF_GPU_ACHIEVED_TFLOPS = 9.8      # V100 f32 conv-training achieved
 REF_IMGS_PER_SEC_PER_GPU = round(
     REF_GPU_ACHIEVED_TFLOPS / REF_STEP_TFLOP_PER_IMAGE, 2)  # 9.85
@@ -433,10 +437,13 @@ def main():
     # under the driver)
     imgs_per_sec = b * n_steps / best
     imgs_per_sec_chip = imgs_per_sec / n_devices
-    # the derived per-GPU denominator models the PIXEL step at the
-    # benched gt_size (FLOPs measured per size — count_flops.py); the
-    # GAN phase has no derived reference rate, so vs_baseline is null
-    ref_tflop = REF_STEP_TFLOP_PER_IMAGE_BY_GT.get(gt)
+    # the derived per-GPU denominator models the measured phase's step
+    # at the benched gt_size (FLOPs measured per size+phase —
+    # count_flops.py; a gt without a measured count gets a null
+    # vs_baseline rather than the wrong constants)
+    ref_tflop = (REF_GAN_STEP_TFLOP_PER_IMAGE_BY_GT.get(gt)
+                 if phase == 'gan'
+                 else REF_STEP_TFLOP_PER_IMAGE_BY_GT.get(gt))
     vs_baseline = None
     extra = {'backend': backend, 'n_devices': n_devices,
              'per_chip_batch': per_chip_batch, 'gt_size': gt,
@@ -444,7 +451,7 @@ def main():
              'alignment': opt['network_g']['alignment'],
              'n_steps_per_dispatch': n_steps,
              'compile_plus_first_run_s': round(t_compile, 1)}
-    if phase == 'pix' and ref_tflop is not None:
+    if ref_tflop is not None:
         ref_rate = REF_GPU_ACHIEVED_TFLOPS / ref_tflop
         vs_baseline = round(imgs_per_sec_chip * TARGET_NUM_CHIPS /
                             (ref_rate * REF_NUM_GPUS), 3)

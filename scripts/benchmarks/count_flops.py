@@ -16,7 +16,17 @@ image. The stages mirror the reference's call graph
               + Adam) — backward/update cost is train_step minus the
               forwards.
 
+``--phase gan`` instead audits one WGAN-GP phase iteration at the
+reference's alternation defaults (net_d_steps=1, net_d_init_steps=0 —
+reference multi_ref_restoration_model.py:172-173, so every iter runs
+both the D update (real+fake D forwards, gradient-penalty
+double-backward, D Adam) and the G update (full G forward+backward
+through the pixel+GAN losses incl. a D forward, G Adam)). This grounds
+the BENCH_GAN.json vs_baseline denominator the same way the pixel
+count grounds BENCH_r*.json (BASELINE.md "GAN wave" section).
+
 Usage: python scripts/benchmarks/count_flops.py [--batch 2] [--gt 160]
+                                                [--phase pix|gan]
 Writes JSON to stdout.
 """
 import argparse
@@ -46,6 +56,7 @@ def main():
     ap.add_argument('--batch', type=int, default=2)
     ap.add_argument('--gt', type=int, default=160)
     ap.add_argument('--refs', type=int, default=5)
+    ap.add_argument('--phase', choices=['pix', 'gan'], default='pix')
     args = ap.parse_args()
 
     import jax
@@ -79,6 +90,16 @@ def main():
             'pixel_criterion': 'L1Loss', 'pixel_weight': 1.0,
         },
     }
+    if args.phase == 'gan':
+        # stage3 GAN-phase shape, same knobs as bench.py BENCH_PHASE=gan
+        # (reference multi_ref_restoration_model.py:197-279)
+        opt['network_d'] = {'type': 'ImageDiscriminator', 'in_nc': 3,
+                            'ndf': 32}
+        opt['train'].update({
+            'lr_d': 1e-4, 'weight_decay_d': 0, 'beta_d': [0.9, 0.999],
+            'gan_type': 'wgan', 'gan_weight': 1e-5,
+            'grad_penalty_weight': 10.0, 'net_g_pretrain_steps': 0,
+        })
     model = build_model(opt)
     rng = np.random.RandomState(0)
     batch = {
@@ -95,6 +116,41 @@ def main():
     params_g = model.vars_g['params']
 
     stages = {}
+
+    if args.phase == 'gan':
+        # one GAN-wave iteration at the reference alternation defaults
+        # (net_d_steps=1 -> g_turn True every post-init iter): D update
+        # with GP double-backward + full G update. The skip_g cond
+        # branch is all-zeros aux, so its contribution to the count is
+        # negligible whichever way XLA books the cond.
+        model._build_train_step_gan()
+        raw = model._train_step_gan_raw
+        rng = model.next_rng()
+
+        def gan_iter(vg, vd, og, od, ve, vm, mi_, r_, lq_, gt_, rng_):
+            return raw(vg, vd, og, od, ve, vm, mi_, r_, lq_, gt_, rng_,
+                       jnp_true)
+
+        import jax.numpy as jnp
+        jnp_true = jnp.asarray(True)
+        total = _flops(jax.jit(gan_iter), model.vars_g, model.vars_d,
+                       model.opt_state_g, model.opt_state_d, vars_ex,
+                       vars_map, mi, refs, lq, model.gt, rng)
+        # the pixel step at the same shapes, for the per-iter overhead
+        # ratio the docs quote
+        pix_step = model._build_train_step_pix()
+        pix_total = _flops(pix_step, model.vars_g, model.opt_state_g,
+                           vars_ex, vars_map, mi, refs, lq, model.gt, 0)
+        out = {
+            'batch': b, 'gt_size': gt, 'refs': t, 'phase': 'gan',
+            'net_d_steps': model.net_d_steps,
+            'net_d_init_steps': model.net_d_init_steps,
+            'flops_total_per_image': total / b,
+            'pix_step_flops_per_image': pix_total / b,
+            'gan_over_pix_ratio': round(total / pix_total, 4),
+        }
+        print(json.dumps(out, indent=2))
+        return
 
     ex = jax.jit(lambda ve, m, r: model._apply_extractor(ve, m, r))
     stages['extractor_fwd'] = _flops(ex, vars_ex, mi, refs)
