@@ -204,12 +204,22 @@ class MRAPAFusion(nn.Module):
                       kernel_init=init, name='conv_ass')(refs_flat)
         ass = ass.reshape((b, t) + ass.shape[1:])  # (B,T,H,W,2C)
 
-        corr = jnp.einsum('nhwc,nthwc->nhwt', emb_t, emb_r,
-                          preferred_element_type=jnp.float32)
-        corr = jax.nn.softmax(corr, axis=-1).astype(target.dtype)
-        fused_refs = jnp.einsum('nhwt,nthwc->nhwc', corr, ass,
-                                preferred_element_type=jnp.float32
-                                ).astype(target.dtype)  # (B,H,W,2C)
+        # Attention einsums emit the COMPUTE dtype (bf16 under the
+        # mixed-precision policy): the MXU accumulates bf16 dot
+        # products in f32 in hardware either way, so forcing
+        # preferred_element_type=f32 here only changed the OUTPUT
+        # dtype — which the VJP inherits, storing every attention
+        # cotangent ((B*T,H,W,2C) 'ass' + (B*T,H,W,C) 'emb_r' slabs,
+        # the largest tensors in the step) in f32. Measured: dropping
+        # it cuts peak HBM by the cotangent set and speeds the flow
+        # step (docs/TPUDesign.md round-5 section). The softmax itself
+        # stays f32: its (B,H,W,T) operand is tiny and exp/normalize
+        # precision is worth keeping.
+        corr = jnp.einsum('nhwc,nthwc->nhwt', emb_t, emb_r)
+        corr = jax.nn.softmax(corr.astype(jnp.float32),
+                              axis=-1).astype(target.dtype)
+        fused_refs = jnp.einsum('nhwt,nthwc->nhwc', corr,
+                                ass)  # (B,H,W,2C)
 
         # spatial attention (reference :337-344)
         attn = _lrelu(nn.Conv(channels * 2, (1, 1), kernel_init=init,
