@@ -48,6 +48,11 @@ Driver-robustness design (each a round-1 failure mode):
 
 Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline", "baseline_estimated", ...}.
+The line's ``production`` field embeds the previously-measured
+production-path rates (flow alignment, lp, GAN wave, serving) parsed
+from the committed BENCH_*.json side artifacts, each with both
+baseline bases — the headline value stays the reference-parity DCN
+path; see _production_summary.
 """
 import json
 import os
@@ -72,6 +77,10 @@ REF_IMGS_PER_SEC_PER_GPU = round(
     REF_GPU_ACHIEVED_TFLOPS / REF_STEP_TFLOP_PER_IMAGE, 2)  # 9.85
 REF_NUM_GPUS = 4
 TARGET_NUM_CHIPS = 8  # one v5e-8 host
+# A100-TF32 sensitivity basis (BASELINE.md "Sensitivity (A100)"):
+# ~2.5x the V100-f32 achieved rate. Emitted alongside the V100 basis
+# so either reading is recomputable from the one JSON line.
+A100_OVER_V100 = 2.5
 
 METRIC = 'lmr_5ref_x4_train_imgs_per_sec_per_chip'
 UNIT = 'images/sec/chip'
@@ -457,7 +466,57 @@ def main():
                             (ref_rate * REF_NUM_GPUS), 3)
         extra['baseline_imgs_per_sec_per_gpu'] = round(ref_rate, 2)
         extra['baseline_step_tflop_per_image'] = ref_tflop
+        extra['vs_baseline_a100'] = round(vs_baseline / A100_OVER_V100,
+                                          3)
+    production = _production_summary(repo)
+    if production:
+        extra['production'] = production
     _emit(round(imgs_per_sec_chip, 3), vs_baseline, extra)
+
+
+def _production_summary(repo):
+    """Secondary, previously-measured production rates embedded in the
+    driver's one JSON line (VERDICT r4 #2): the headline above is the
+    reference-PARITY path (DCN alignment, the apples-to-apples number);
+    the accuracy-validated PRODUCTION path (alignment: flow, shipped as
+    options/train/stage3_5ref_restoration_mse_flow.yml) plus the lp /
+    GAN / serving regimes live in committed side artifacts re-measured
+    by their own bench invocations (commands in each artifact). Each
+    entry carries both baseline bases (V100-f32 derived + A100-TF32
+    sensitivity, BASELINE.md). Parsed, not re-measured, so the default
+    driver run stays one compile."""
+    side = {
+        'flow_train': 'BENCH_FLOW.json',
+        'lp_flow_train': 'BENCH_LP_FLOW.json',
+        'lp_dcn_train': 'BENCH_LP.json',
+        'gan_wave_dcn': 'BENCH_GAN.json',
+        'gan_wave_flow': 'BENCH_GAN_FLOW.json',
+        'serving_cufed5': 'BENCH_SERVING.json',
+    }
+    out = {}
+    for name, fname in side.items():
+        path = os.path.join(repo, fname)
+        if not os.path.exists(path):
+            continue
+        try:
+            with open(path) as f:
+                rec = json.loads(f.read().strip().splitlines()[-1])
+        except (ValueError, OSError):
+            continue
+        if rec.get('value') is None:
+            continue
+        entry = {'imgs_per_sec_per_chip': rec['value'],
+                 'vs_baseline': rec.get('vs_baseline'),
+                 'source': fname}
+        if rec.get('vs_baseline') is not None:
+            entry['vs_baseline_a100'] = round(
+                rec['vs_baseline'] / A100_OVER_V100, 3)
+        for k in ('cli_imgs_per_sec_per_chip', 'alignment', 'gt_size',
+                  'phase', 'note', 'command'):
+            if k in rec:
+                entry[k] = rec[k]
+        out[name] = entry
+    return out
 
 
 if __name__ == '__main__':
