@@ -10,6 +10,7 @@ import datetime
 import logging
 import math
 import os
+import signal
 import time
 from os import path as osp
 
@@ -121,6 +122,38 @@ def load_resume_state(opt):
     return resume_state
 
 
+def _install_preemption_handler():
+    """Graceful stop on SIGTERM/SIGINT: finish the in-flight step or
+    wave, save a resumable .state checkpoint, exit 0.
+
+    TPU pools preempt workers with SIGTERM (and schedulers send it on
+    deadline); the reference has no counterpart — a kill mid-run loses
+    everything since the last save_checkpoint_freq boundary, and a
+    client killed mid-device-op can wedge a shared device tunnel. The
+    first signal only sets a flag (the train loop checks it between
+    dispatches, when no device op is in flight); a second signal
+    restores the default disposition and re-raises, so a stuck run can
+    still be killed hard. In multi-process training every rank must
+    receive the signal (process launchers forward it); `model.save`
+    itself is rank-0-gated. Returns an inert flag when not on the main
+    thread (library embedding)."""
+    state = {'stop': False}
+
+    def handler(signum, frame):
+        if state['stop']:
+            signal.signal(signum, signal.SIG_DFL)
+            os.kill(os.getpid(), signum)
+            return
+        state['stop'] = True
+
+    try:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, handler)
+    except ValueError:
+        pass  # not the main thread: leave dispositions alone
+    return state
+
+
 def train_pipeline(root_path, args=None):
     """(reference train.py:91-210)"""
     opt, cli_args = parse_options(root_path, is_train=True, args=args)
@@ -220,6 +253,7 @@ def train_pipeline(root_path, args=None):
         """A multiple of freq lies in (lo, hi]."""
         return hi // int(freq) > lo // int(freq)
 
+    preempt = _install_preemption_handler()
     epoch = start_epoch
     while current_iter < total_iters:
         train_sampler.set_epoch(epoch)
@@ -287,9 +321,22 @@ def train_pipeline(root_path, args=None):
                     model.validation(val_loader, current_iter, tb_logger,
                                      opt['val'].get('save_img', False))
 
+            if preempt['stop']:
+                break
             data_timer.start()
             iter_timer.start()
             train_data = prefetcher.next()
+        if preempt['stop']:
+            # graceful preemption: the dispatched work is done (save
+            # blocks on the params), state is resumable via
+            # --auto_resume, exit code 0 so supervisors see a clean stop
+            profiler.close()
+            logger.info(f'Preemption signal received: saving state at '
+                        f'iter {current_iter} and stopping cleanly.')
+            model.save(epoch, current_iter)
+            if tb_logger:
+                tb_logger.close()
+            return model
         epoch += 1
 
     profiler.close()  # finalize a window still open past total_iters

@@ -94,6 +94,63 @@ def test_train_cli_completes(tiny_paired, mode, extra, extra_ds):
         log[-2000:]
 
 
+def test_train_cli_graceful_preemption(tiny_paired, tmp_path):
+    """SIGTERM mid-run = graceful preemption (mrefsr_tpu/train.py
+    _install_preemption_handler): the process finishes the in-flight
+    step, writes a resumable .state, and exits 0 — then --auto_resume
+    picks up from the preempted iter. The reference has no counterpart
+    (a TERM there loses everything since the last checkpoint_freq)."""
+    import signal
+    import time as _time
+    exp_root = tmp_path / 'exp'
+    yml = write_yml(tiny_paired, 'pipe_preempt')
+    text = open(yml).read().replace(
+        'path: {pretrain_network_g: ~, strict_load: true, '
+        'resume_state: ~}',
+        f'path: {{pretrain_network_g: ~, strict_load: true, '
+        f'resume_state: ~, experiments_root: {exp_root}}}')
+    open(yml, 'w').write(text)
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    out_path = tmp_path / 'out.log'
+    with open(out_path, 'w') as out:
+        proc = subprocess.Popen(
+            [sys.executable, 'train.py', '-opt', yml,
+             '--force_yml', 'train:total_iter=500',
+             'logger:save_checkpoint_freq=100000',
+             'logger:print_freq=1'],
+            cwd=REPO, env=env, stdout=out, stderr=subprocess.STDOUT)
+        # wait until it is actually stepping, then preempt
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if 'iter:' in open(out_path).read():
+                break
+            if proc.poll() is not None:
+                break
+            _time.sleep(0.5)
+        assert proc.poll() is None, open(out_path).read()[-2000:]
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=120)
+    log = open(out_path).read()
+    assert rc == 0, log[-2000:]
+    assert 'Preemption signal received' in log, log[-2000:]
+    states = os.listdir(osp.join(str(exp_root), 'pipe_preempt',
+                                 'training_states'))
+    assert states, 'no resumable state saved on preemption'
+    saved_iter = max(int(float(s.split('.state')[0])) for s in states)
+    assert saved_iter >= 1
+
+    run2 = subprocess.run(
+        [sys.executable, 'train.py', '-opt', yml, '--auto_resume',
+         '--force_yml', f'train:total_iter={saved_iter + 2}',
+         'logger:save_checkpoint_freq=100000'],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert run2.returncode == 0, run2.stderr[-2000:]
+    log2 = run2.stdout + run2.stderr
+    assert (f'Resuming training from epoch' in log2
+            and f'iter: {saved_iter}' in log2), log2[-2000:]
+    assert 'End of training' in log2, log2[-2000:]
+
+
 def test_train_cli_auto_resume(tiny_paired, tmp_path):
     """--auto_resume continues a killed run from the newest .state
     through the REAL CLI (reference basicsr/train.py:68-88): run to
