@@ -649,7 +649,38 @@ class MultiRefRestorationModel(BaseModel):
         self._train_step_gan_raw = step
         return jax.jit(step, donate_argnums=(0, 1, 2, 3))
 
+    def _release_pretrain_executables(self):
+        """Unload the pixel-phase compiled programs before loading the
+        GAN step. TPU executables reserve their scratch HBM when
+        LOADED, not per run: past the one-time pixel→GAN boundary the
+        pixel wave's multi-GB reservation would stay resident for the
+        rest of training, and the GAN wave (D step + gradient-penalty
+        double-backward) then fails to load at shapes that fit solo —
+        measured RESOURCE_EXHAUSTED at the first GAN dispatch of the
+        stage3 A/B arms (b=8, gt=160, bf16) for BOTH alignments, while
+        the same GAN wave benches fine alone (BENCH_GAN.json). The
+        pixel step never runs again, so drop the jitted wrappers and
+        their executables (the raw python fns stay for rebuilds), then
+        clear every jit cache: the validation forward's scratch
+        reservation is resident too (a val ran mid-pretrain), and the
+        GAN wave needs all the headroom it can get. Cleared graphs
+        reload from the persistent compile cache at next use (seconds,
+        not a recompile). One-time cost at the boundary."""
+        released = False
+        for attr in ('_train_step_pix', '_train_step_wave'):
+            fn = getattr(self, attr, None)
+            if fn is not None:
+                if hasattr(fn, 'clear_cache'):
+                    fn.clear_cache()
+                setattr(self, attr, None)
+                released = True
+        if released:
+            import gc
+            jax.clear_caches()
+            gc.collect()
+
     def _optimize_gan(self, step, match_img_in, refs, lq, gt):
+        self._release_pretrain_executables()
         if self._train_step_gan is None:
             self._train_step_gan = self._build_train_step_gan()
         g_turn = ((step - self.net_g_pretrain_steps) % self.net_d_steps
@@ -669,6 +700,7 @@ class MultiRefRestorationModel(BaseModel):
         ``_optimize_gan``: the rng keys are drawn host-side from the
         same stream (one ``next_rng()`` per step) and ``g_turn`` is the
         same step-index arithmetic, evaluated on the traced index."""
+        self._release_pretrain_executables()
         if self._train_step_gan is None:
             self._train_step_gan = self._build_train_step_gan()
 
