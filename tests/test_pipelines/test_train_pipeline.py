@@ -119,10 +119,15 @@ def test_train_cli_graceful_preemption(tiny_paired, tmp_path):
              'logger:save_checkpoint_freq=100000',
              'logger:print_freq=1'],
             cwd=REPO, env=env, stdout=out, stderr=subprocess.STDOUT)
-        # wait until it is actually stepping, then preempt
+        # wait until it is actually stepping, then preempt. The marker
+        # must be one only an ITERATION log line carries ('l_pix'):
+        # matching 'iter:' raced, because the startup options dump
+        # contains 'total_iter:' — the TERM then landed before the
+        # preemption handler installs (= before the train loop) and
+        # killed the process with the default disposition.
         deadline = _time.time() + 300
         while _time.time() < deadline:
-            if 'iter:' in open(out_path).read():
+            if 'l_pix' in open(out_path).read():
                 break
             if proc.poll() is not None:
                 break
