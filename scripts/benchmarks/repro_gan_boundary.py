@@ -48,6 +48,21 @@ def main():
                     help='network_g ref_unroll (the shipped flow MSE '
                          'configs use 5; it does not fit the GAN '
                          'wave)')
+    ap.add_argument('--pretrain', type=int, default=None,
+                    help='net_g_pretrain_steps constant baked into '
+                         'the GAN-wave graph (default: one wave). The '
+                         'A/B arms use 992; at b=8 the DCN GAN wave '
+                         'sits at ~97%% HBM and XLA''s memory plan '
+                         'varies run-to-run across otherwise-'
+                         'equivalent constants — the 992-constant '
+                         'executable cached by the arm exhausts HBM '
+                         'even on a released device while a fresh '
+                         '16-constant compile fits (measured round '
+                         '5). --remat gives the wave real headroom.')
+    ap.add_argument('--remat', action='store_true',
+                    help='network_g dcn_outer_remat=true: numerics-'
+                         'identical recompute that buys the DCN GAN '
+                         'wave deterministic HBM headroom at b=8')
     args = ap.parse_args()
 
     import jax
@@ -70,7 +85,8 @@ def main():
         'network_g': {'type': 'MRAPARestorationNet', 'ngf': 64,
                       'n_blocks': 16, 'groups': 8,
                       'alignment': args.alignment,
-                      'ref_unroll': args.unroll},
+                      'ref_unroll': args.unroll,
+                      'dcn_outer_remat': args.remat},
         'network_map': {'type': 'CorrespondenceGenerationArch',
                         'patch_size': 3, 'stride': 1,
                         'vgg_layer_list': ['relu1_1', 'relu2_1',
@@ -91,7 +107,8 @@ def main():
                           'milestones': [300000, 400000],
                           'gamma': 0.5},
             'total_iter': 3 * k, 'warmup_iter': -1,
-            'net_g_pretrain_steps': k,
+            'net_g_pretrain_steps': (k if args.pretrain is None
+                                     else args.pretrain),
             'steps_per_dispatch': k,
             'pixel_criterion': 'L1Loss', 'pixel_weight': 1.0,
             'mixed_precision': 'bfloat16',
@@ -142,6 +159,7 @@ def main():
             return False
 
     waves = [batch(b) for _ in range(k)]
+    gan_start = opt['train']['net_g_pretrain_steps'] + 1
     ok = stage(f'pixel wave (iters 1..{k})',
                lambda: model.optimize_parameters_wave(waves, 1))
     if ok and args.val:
@@ -151,12 +169,13 @@ def main():
         ok = stage('eval forward (validation graph resident)', val)
     if ok:
         ok = stage(
-            f'GAN wave (iters {k + 1}..{2 * k}, release={args.release})',
-            lambda: model.optimize_parameters_wave(waves, k + 1))
+            f'GAN wave (iters {gan_start}..{gan_start + k - 1}, '
+            f'release={args.release})',
+            lambda: model.optimize_parameters_wave(waves, gan_start))
     if ok:
         ok = stage(f'second GAN wave (steady state)',
                    lambda: model.optimize_parameters_wave(
-                       waves, 2 * k + 1))
+                       waves, gan_start + k))
     print(f'[repro] RESULT: '
           f'{"boundary fits" if ok else "boundary exhausts HBM"} '
           f'(alignment={args.alignment}, b={b}, gt={gt}, '
